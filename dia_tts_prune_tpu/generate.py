@@ -1,0 +1,329 @@
+"""Device-resident autoregressive generation.
+
+The reference's generation loop syncs host↔device every codec frame
+(dia/model.py:748-815: Python EOS bookkeeping + per-step sampling) — the #1
+performance problem for any accelerator.  Here the whole loop — decode step,
+CFG, constraint masks, sampling, the EOS delay-countdown state machine, and
+the BOS-window masked write — is a single ``lax.while_loop`` compiled once;
+the host sees only the final token buffer.
+
+Loop semantics replicate the reference exactly (verified against
+dia/model.py:631-846):
+
+* step ``t`` consumes the token in buffer row ``t-1``, runs RoPE position
+  ``t``, writes KV slot ``t-1``, attends slots ``[0, t-1]``;
+* EOS in channel 0 starts a ``max_delay`` countdown during which channel
+  ``c`` is forced to EOS at offset ``delay[c]`` and PAD after
+  (dia/model.py:771-797);
+* the first ``max_delay`` steps write through a ``buffer == -1`` mask so the
+  delayed BOS/PAD template rows survive (dia/model.py:790-792, state
+  quirk Q8);
+* generation stops when the countdown hits zero or ``max_tokens`` nears
+  (minus the delay tail), whichever first.
+
+Deviations from the reference (documented, deliberate):
+* KV prefill writes slots ``[0, P-1)`` without the reference's off-by-one
+  overwrite of the last prompt slot (quirk Q5);
+* sampling uses ``jax.random`` categorical (threaded keys) rather than torch
+  ``multinomial`` — distributions match, exact draws differ; parity tests
+  compare under temperature 0.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DiaConfig
+from .models.dia import (
+    KVCache,
+    decode_step,
+    decoder_prefill,
+    encoder_forward,
+    new_self_cache,
+    precompute_cross_cache,
+)
+from .ops.delay import revert_audio_delay
+from .ops.masks import create_attn_mask
+from .ops.sampling import apply_constraints, cfg_combine
+from .state import (
+    DecodeLoopState,
+    cross_attention_mask,
+    new_encoder_state,
+    prepare_audio_prompt,
+)
+from .tokenizer import build_effective_text, encode_cfg_batch
+
+CFG_BATCH = 2  # [uncond; cond] pair (reference: dia/model.py:360-362)
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Static sampling configuration (trace-time constants)."""
+
+    temperature: float = 1.3
+    top_p: float = 0.95
+    cfg_filter_top_k: int = 35
+    cfg_scale: float = 3.0
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "compute_dtype_name"),
+)
+def prepare_conditioning(params, config: DiaConfig, enc_input: jax.Array, compute_dtype_name: str = "float32"):
+    """Encoder pass + static cross-attention KV + masks
+    (reference: dia/model.py:355-401)."""
+    compute_dtype = _dtype_of(compute_dtype_name)
+    enc_state = new_encoder_state(config, enc_input)
+    enc_out = encoder_forward(
+        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    )
+    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
+    cross_mask = cross_attention_mask(enc_state.padding_mask)
+    return enc_out, cross_cache, cross_mask, enc_state
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "prefill_window", "compute_dtype_name"),
+    donate_argnames=("self_cache",),
+)
+def run_prefill(
+    params,
+    config: DiaConfig,
+    tokens_buf: jax.Array,  # [T_max, C]
+    prefill_len: jax.Array,  # scalar int32 = prefill_step - 1 (#tokens to prefill)
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    self_cache: KVCache,
+    prefill_window: int,
+    compute_dtype_name: str = "float32",
+) -> KVCache:
+    """Warm the self-attn KV cache on prompt tokens over a static window.
+
+    ``prefill_window`` is a 128-bucketed static bound ≥ prefill_len; rows past
+    ``prefill_len`` produce garbage KV in slots that the decode loop always
+    overwrites before attending (write-before-read by construction).
+    """
+    compute_dtype = _dtype_of(compute_dtype_name)
+    window_tokens = jnp.clip(tokens_buf[:prefill_window], 0)  # -1 template → safe ids
+    tgt = jnp.broadcast_to(window_tokens[None], (CFG_BATCH, *window_tokens.shape))
+    positions = jnp.broadcast_to(
+        jnp.arange(prefill_window, dtype=jnp.int32)[None], (CFG_BATCH, prefill_window)
+    )
+    valid = positions < prefill_len
+    prefill_mask = create_attn_mask(valid, valid, is_causal=True)
+    _, new_cache = decoder_prefill(
+        params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
+        self_cache, compute_dtype,
+    )
+    return new_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "greedy",
+        "cfg_filter_top_k",
+        "compute_dtype_name",
+    ),
+    donate_argnames=("tokens_buf", "self_cache"),
+)
+def decode_loop(
+    params,
+    config: DiaConfig,
+    tokens_buf: jax.Array,  # int32 [T_max, C] with prefill template written
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    key: jax.Array,
+    prefill_step: jax.Array,  # scalar int32
+    max_tokens: jax.Array,  # scalar int32
+    cfg_scale: jax.Array,  # scalar f32
+    temperature: jax.Array,  # scalar f32
+    top_p: jax.Array,  # scalar f32
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype_name: str = "float32",
+):
+    """The hot loop. Returns (tokens_buf, final_dec_step)."""
+    compute_dtype = _dtype_of(compute_dtype_name)
+    d = config.data
+    delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
+    max_delay = d.max_delay
+    eos, pad = d.audio_eos_value, d.audio_pad_value
+
+    def cond(s: DecodeLoopState):
+        return (s.dec_step < max_tokens - 1) & (~s.stop)
+
+    def body(s: DecodeLoopState) -> DecodeLoopState:
+        t = s.dec_step + 1
+        prev = jax.lax.dynamic_slice(s.tokens, (t - 1, 0), (1, d.channels))  # [1, C]
+        tgt = jnp.broadcast_to(prev[None], (CFG_BATCH, 1, d.channels))
+        position = jnp.full((CFG_BATCH, 1), t, dtype=jnp.int32)
+        logits, new_cache = decode_step(
+            params, config, tgt, position, (t - 1).astype(jnp.int32),
+            s.cache, cross_cache, cross_mask, compute_dtype,
+        )  # [2, 1, C, V]
+        guided = cfg_combine(logits[:, -1], cfg_scale)  # [C, V]
+        guided = apply_constraints(guided, eos, pad, d.audio_bos_value)
+
+        key, sub = jax.random.split(s.key)
+        if greedy:
+            pred = jnp.argmax(guided, axis=-1).astype(jnp.int32)
+        else:
+            pred = _traced_sample(sub, guided, temperature, top_p, cfg_filter_top_k)
+
+        # --- EOS state machine (reference: dia/model.py:771-797) ---
+        newly_eos = (~s.eos_detected) & (pred[0] == eos)
+        eos_detected = s.eos_detected | newly_eos
+        countdown = jnp.where(newly_eos, max_delay, s.eos_countdown)
+
+        active = countdown > 0
+        step_after = max_delay - countdown
+        force_eos = active & (step_after == delay)
+        force_pad = active & (step_after > delay) & (pred != eos)
+        pred = jnp.where(force_eos, eos, jnp.where(force_pad, pad, pred))
+        countdown = jnp.where(active, countdown - 1, countdown)
+
+        # --- BOS-window masked write (reference: dia/model.py:790-792) ---
+        bos_countdown = jnp.maximum(0, s.bos_countdown - 1)
+        row = jax.lax.dynamic_slice(s.tokens, (t, 0), (1, d.channels))[0]
+        write = jnp.where((bos_countdown > 0) & (row != -1), row, pred)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, write[None], (t, 0))
+
+        stop = countdown == 0
+
+        # Near-max EOS trigger (reference: dia/model.py:800-804)
+        near_max = (t >= max_tokens - max_delay - 1) & (~eos_detected)
+        eos_detected = eos_detected | near_max
+        countdown = jnp.where(near_max, max_delay, countdown)
+
+        dec_step = jnp.where(stop, s.dec_step, s.dec_step + 1)
+        return DecodeLoopState(
+            tokens=tokens, cache=new_cache, key=key, dec_step=dec_step,
+            eos_detected=eos_detected, eos_countdown=countdown,
+            bos_countdown=bos_countdown, stop=stop,
+        )
+
+    init = DecodeLoopState(
+        tokens=tokens_buf,
+        cache=self_cache,
+        key=key,
+        dec_step=prefill_step.astype(jnp.int32) - 1,
+        eos_detected=jnp.asarray(False),
+        eos_countdown=jnp.asarray(-1, jnp.int32),
+        bos_countdown=jnp.asarray(max_delay, jnp.int32),
+        stop=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens, final.dec_step
+
+
+def _traced_sample(key, logits, temperature, top_p, cfg_filter_top_k: int):
+    """Sampler variant with *traced* temperature/top_p (no recompiles when the
+    user sweeps them); top-k is static (lax.top_k requires static k)."""
+    from .ops.sampling import top_k_filter, top_p_filter
+
+    logits = logits / temperature
+    if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
+        logits = top_k_filter(logits, cfg_filter_top_k)
+    logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+class DiaGenerator:
+    """User-facing generation orchestrator (reference API: dia/model.py:631-846).
+
+    Owns compiled prepare/prefill/decode functions; the host only tokenizes
+    text, preps the audio-prompt template, launches the compiled loop, and
+    slices the result.
+    """
+
+    def __init__(self, params, config: DiaConfig, compute_dtype: str = "float32"):
+        self.params = params
+        self.config = config
+        self.compute_dtype = compute_dtype
+
+    def generate_tokens(
+        self,
+        text: str,
+        max_tokens: int | None = None,
+        cfg_scale: float = 3.0,
+        temperature: float = 1.3,
+        top_p: float = 0.95,
+        cfg_filter_top_k: int = 35,
+        audio_prompt_codes: np.ndarray | None = None,
+        audio_prompt_text: str | None = None,
+        seed: int | None = None,
+        verbose: bool = False,
+    ) -> np.ndarray:
+        """Text → undelayed codec tokens [T, C] (delay already reverted)."""
+        cfg = self.config
+        d = cfg.data
+        if audio_prompt_codes is not None and not audio_prompt_text:
+            raise ValueError("`audio_prompt_text` is required when `audio_prompt_codes` is provided.")
+        effective_text = build_effective_text(text, audio_prompt_text)
+        enc_input = jnp.asarray(encode_cfg_batch(effective_text, d.text_length, d.text_pad_value))
+        max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
+
+        delayed, prefill_step = prepare_audio_prompt(cfg, audio_prompt_codes)
+        tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
+        tokens_buf[: delayed.shape[0]] = delayed
+        tokens_buf = jnp.asarray(tokens_buf)
+
+        t0 = time.perf_counter()
+        enc_out, cross_cache, cross_mask, _ = prepare_conditioning(
+            self.params, cfg, enc_input, self.compute_dtype
+        )
+        self_cache = new_self_cache(cfg, CFG_BATCH, dtype=_dtype_of(self.compute_dtype))
+
+        if prefill_step > 1:
+            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
+            self_cache = run_prefill(
+                self.params, cfg, tokens_buf, jnp.asarray(prefill_step - 1, jnp.int32),
+                cross_cache, cross_mask, self_cache, window, self.compute_dtype,
+            )
+
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        tokens, final_step = decode_loop(
+            self.params, cfg, tokens_buf, self_cache, cross_cache, cross_mask, key,
+            jnp.asarray(prefill_step, jnp.int32), jnp.asarray(max_tokens, jnp.int32),
+            jnp.asarray(cfg_scale, jnp.float32), jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
+            compute_dtype_name=self.compute_dtype,
+        )
+        tokens = np.asarray(tokens)
+        final_step = int(final_step)
+        if verbose:
+            dt = time.perf_counter() - t0
+            steps = final_step + 1 - prefill_step
+            print(f"generate: {steps} steps in {dt:.3f}s ({steps / max(dt, 1e-9):.2f} tokens/s)")
+
+        generated = tokens[prefill_step : final_step + 1]  # (reference: dia/model.py:831)
+        if generated.shape[0] == 0:
+            return np.zeros((0, d.channels), dtype=np.int32)
+
+        # Delay-revert + tail trim + clamp (reference: dia/model.py:490-530).
+        reverted = np.asarray(
+            revert_audio_delay(
+                jnp.asarray(generated)[None], d.audio_pad_value,
+                tuple(d.delay_pattern), generated.shape[0],
+            )[0]
+        )
+        reverted = reverted[: max(0, reverted.shape[0] - d.max_delay)]
+        invalid = (reverted < 0) | (reverted > 1023)
+        reverted = np.where(invalid, 0, reverted)
+        return reverted.astype(np.int32)

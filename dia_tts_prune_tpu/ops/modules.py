@@ -1,0 +1,191 @@
+"""Core model ops: generalized dense, RMSNorm, RoPE, SwiGLU MLP, attention.
+
+Everything here is a pure function over parameter pytrees — the TPU-native
+replacement for the reference's ``nn.Module`` layer zoo (dia/layers.py).
+Design notes:
+
+* ``dense_general`` lowers to a single ``lax.dot_general`` (XLA tiles it onto
+  the MXU); kernels are stored in the same ``in_shapes + out_features`` layout
+  as the reference (dia/layers.py:35-53), so torch checkpoints convert by
+  tree-renaming alone.
+* GQA attention avoids the reference's ``repeat_interleave`` KV materialization
+  (dia/layers.py:314-320): queries are reshaped to [B, T, Nkv, G, H] and
+  contracted against un-repeated KV — less HBM traffic, same math.
+* Numerically sensitive islands (norms, SiLU gate, RoPE trig, softmax) run in
+  float32 regardless of compute dtype, matching the reference's stability
+  policy (dia/layers.py:101,161-173,393).
+* The reference's ``RotaryEmbedding.forward`` crashes on 4-D inputs as written
+  (missing head-axis broadcast, dia/layers.py:135-173 — quirk Q11); we
+  implement the intended split-half RoPE with sin/cos broadcast over heads.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+
+def dense_general(x: jax.Array, kernel: jax.Array, axis: tuple[int, ...] = (-1,)) -> jax.Array:
+    """Generalized dense layer: contract ``axis`` of ``x`` against the leading
+    axes of ``kernel`` (reference: dia/layers.py:55-66). No bias, matching the
+    reference. Lowers to one ``dot_general``.
+    """
+    norm_axis = tuple(ax if ax >= 0 else x.ndim + ax for ax in axis)
+    kernel_axes = tuple(range(len(norm_axis)))
+    out = jnp.tensordot(x.astype(kernel.dtype), kernel, axes=(norm_axis, kernel_axes))
+    return out.astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in float32 (reference: torch.nn.RMSNorm used at dia/layers.py:360-393)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(
+    x: jax.Array,  # [B, T, N, H]
+    position: jax.Array,  # [B, T]
+    min_timescale: float,
+    max_timescale: float,
+) -> jax.Array:
+    """Split-half rotary embedding, fp32 trig, broadcast over heads.
+
+    freqs[i] = position / (min * (max/min)^(2i/H)); out = [x1*cos - x2*sin,
+    x1*sin + x2*cos].  This is the intended semantics of the reference
+    (dia/layers.py:108-173, with the Q11 head-broadcast fix applied).
+    """
+    H = x.shape[-1]
+    half = H // 2
+    fraction = (2.0 * jnp.arange(half, dtype=jnp.float32)) / H
+    inv_freq = 1.0 / (min_timescale * (max_timescale / min_timescale) ** fraction)  # [H/2]
+    freqs = position.astype(jnp.float32)[:, :, None, None] * inv_freq[None, None, None, :]
+    sin = jnp.sin(freqs)  # [B, T, 1, H/2]
+    cos = jnp.cos(freqs)
+    x32 = x.astype(jnp.float32)
+    x1, x2 = jnp.split(x32, 2, axis=-1)
+    rotated = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return rotated.astype(x.dtype)
+
+
+def mlp_block(params: Params, x: jax.Array) -> jax.Array:
+    """SwiGLU MLP with fused gate/up projection (reference: dia/layers.py:69-105).
+
+    params: {'wi_fused': {'kernel': [D, 2, F]}, 'wo': {'kernel': [F, D]}}.
+    SiLU on the gate runs in float32.
+    """
+    fused = dense_general(x, params["wi_fused"]["kernel"])  # [..., 2, F]
+    gate = fused[..., 0, :]
+    up = fused[..., 1, :]
+    hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return dense_general(hidden, params["wo"]["kernel"])
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """Attention logits without materializing repeated KV heads.
+
+    q: [B, Tq, Nkv, G, H], k: [B, Tk, Nkv, H] -> [B, Nkv, G, Tq, Tk] (fp32).
+    """
+    return jnp.einsum(
+        "btngh,bsnh->bngts", q, k, preferred_element_type=jnp.float32
+    )
+
+
+def sdpa(
+    q: jax.Array,  # [B, Tq, Nq, H]
+    k: jax.Array,  # [B, Tk, Nkv, H]
+    v: jax.Array,  # [B, Tk, Nkv, H]
+    mask: jax.Array | None,  # bool, broadcastable to [B, 1, Tq, Tk]; True = attend
+    is_causal: bool = False,
+) -> jax.Array:
+    """Scaled dot-product attention with GQA, fp32 softmax.
+
+    Matches ``F.scaled_dot_product_attention`` semantics as used by the
+    reference (dia/layers.py:329-337): scale 1/sqrt(H), boolean mask where
+    True means attend, optional causal triangle.
+    Returns [B, Tq, Nq, H] in q.dtype.
+    """
+    B, Tq, Nq, H = q.shape
+    Tk, Nkv = k.shape[1], k.shape[2]
+    G = Nq // Nkv
+    qg = q.reshape(B, Tq, Nkv, G, H)
+    scores = _gqa_scores(qg, k) * (1.0 / math.sqrt(H))  # [B, Nkv, G, Tq, Tk] fp32
+
+    # Large-negative (not -inf) masking + guarded normalization: fully masked
+    # rows produce exactly-zero outputs, matching torch SDPA's behavior on the
+    # CFG unconditional branch (all-padding text keys), with no NaNs anywhere.
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    if mask is not None:
+        m = mask[:, :, None, :, :] if mask.ndim == 4 else mask  # [B,1,1,Tq,Tk]
+        scores = jnp.where(m, scores, neg)
+    if is_causal:
+        causal = jnp.tril(jnp.ones((Tq, Tk), dtype=jnp.bool_))
+        scores = jnp.where(causal[None, None, None, :, :], scores, neg)
+
+    row_max = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+    row_max = jnp.where(row_max <= neg * 0.5, 0.0, row_max)
+    unnorm = jnp.exp(scores - row_max)  # masked entries underflow to exactly 0
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    weights = (unnorm / jnp.maximum(denom, jnp.float32(1e-30))).astype(q.dtype)
+    out = jnp.einsum("bngts,bsnh->btngh", weights, v)
+    return out.reshape(B, Tq, Nq, H)
+
+
+def attention_qkv(
+    params: Params,
+    x_q: jax.Array,  # [B, Tq, Dq]
+    x_kv: jax.Array,  # [B, Tkv, Dkv]
+    q_positions: jax.Array,  # [B, Tq]
+    kv_positions: jax.Array,  # [B, Tkv]
+    rope_min: float,
+    rope_max: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Project q/k/v and apply RoPE to q and k (reference: dia/layers.py:271-279).
+
+    params: {'q_proj'|'k_proj'|'v_proj': {'kernel': [D, N, H]}, 'o_proj': ...}.
+    Returns (q [B,Tq,Nq,H], k [B,Tkv,Nkv,H], v [B,Tkv,Nkv,H]).
+    """
+    q = dense_general(x_q, params["q_proj"]["kernel"])
+    k = dense_general(x_kv, params["k_proj"]["kernel"])
+    v = dense_general(x_kv, params["v_proj"]["kernel"])
+    q = rope(q, q_positions, rope_min, rope_max)
+    k = rope(k, kv_positions, rope_min, rope_max)
+    return q, k, v
+
+
+def attention_out(params: Params, attn: jax.Array) -> jax.Array:
+    """Output projection contracting (head, head_dim) (reference: dia/layers.py:222-227)."""
+    return dense_general(attn, params["o_proj"]["kernel"], axis=(-2, -1))
+
+
+def attention(
+    params: Params,
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    q_positions: jax.Array,
+    kv_positions: jax.Array,
+    mask: jax.Array | None,
+    rope_min: float,
+    rope_max: float,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Full-sequence attention (no cache) — encoder self-attn / training decoder."""
+    q, k, v = attention_qkv(params, x_q, x_kv, q_positions, kv_positions, rope_min, rope_max)
+    out = sdpa(q, k, v, mask, is_causal=is_causal)
+    return attention_out(params, out)

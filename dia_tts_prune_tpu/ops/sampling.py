@@ -1,0 +1,85 @@
+"""CFG combination, constraint masking, and token sampling — fully traced.
+
+The reference samples on the host each step (dia/model.py:32-82, 429-488),
+forcing a device→host sync per token.  Here every piece is jit-safe jnp code
+that runs inside the device-resident decode loop: classifier-free guidance,
+the EOS/PAD/BOS constraint masks, temperature → top-k → top-p filtering (in
+the reference's exact order, dia/model.py:43-70), and Gumbel/categorical
+sampling with explicit `jax.random` keys instead of global torch seeding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.float32(jnp.finfo(jnp.float32).min)
+
+
+def cfg_combine(logits_2xCxV: jax.Array, cfg_scale: float) -> jax.Array:
+    """guided = cond + scale * (cond - uncond)  (reference: dia/model.py:449-457)."""
+    uncond = logits_2xCxV[0]
+    cond = logits_2xCxV[1]
+    return cond + cfg_scale * (cond - uncond)
+
+
+def apply_constraints(
+    logits_CxV: jax.Array,
+    eos_value: int,
+    pad_value: int,
+    bos_value: int,
+) -> jax.Array:
+    """Ban EOS outside channel 0 and PAD/BOS everywhere
+    (reference: dia/model.py:460-478)."""
+    C, V = logits_CxV.shape
+    col = jnp.arange(V)
+    chan = jnp.arange(C)[:, None]
+    ban = (col[None, :] == eos_value) & (chan > 0)
+    ban = ban | (col[None, :] == pad_value) | (col[None, :] == bos_value)
+    return jnp.where(ban, NEG, logits_CxV)
+
+
+def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k largest logits per row, others -> -inf
+    (reference: dia/model.py:46-52)."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG, logits)
+
+
+def top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering with the reference's shift-by-one keep rule
+    (reference: dia/model.py:55-70): sort probs descending, drop tokens whose
+    *preceding* cumulative mass already exceeds top_p, always keep the top-1.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sorted_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    remove_sorted = cum > top_p
+    remove_sorted = jnp.roll(remove_sorted, 1, axis=-1)
+    remove_sorted = remove_sorted.at[..., 0].set(False)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1, inplace=False)
+    return jnp.where(remove, NEG, logits)
+
+
+@partial(jax.jit, static_argnames=("temperature", "top_p", "cfg_filter_top_k"))
+def sample_next_token(
+    key: jax.Array,
+    logits_CxV: jax.Array,
+    temperature: float,
+    top_p: float,
+    cfg_filter_top_k: int | None,
+) -> jax.Array:
+    """Temperature → top-k → top-p → categorical, argmax at temperature 0
+    (reference: dia/model.py:32-82).  Returns int32 [C]."""
+    if temperature == 0.0:
+        return jnp.argmax(logits_CxV, axis=-1).astype(jnp.int32)
+    logits = logits_CxV / temperature
+    if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
+        logits = top_k_filter(logits, cfg_filter_top_k)
+    if top_p < 1.0:
+        logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
