@@ -1,0 +1,258 @@
+"""Top-level user API — the TPU-native equivalent of class ``Dia``
+(reference: dia/model.py:101-846).
+
+Provides the same surface a reference user expects:
+``Dia.from_local(config, checkpoint)``, ``Dia.from_pretrained(path_or_repo)``,
+``generate(text, …) -> np.ndarray waveform``, ``load_audio`` (DAC-encode a
+voice-cloning prompt), ``save_audio``, and ``load_adapter_weights`` (LoRA).
+
+Differences by design:
+* device/dtype policy is JAX-native: params live on the default device(s) in
+  ``compute_dtype``; multi-chip execution is configured via
+  ``parallel.sharding`` instead of a single ``device`` handle;
+* DAC runs in-process as a JAX model (models/dac.py), so codes→waveform never
+  leaves the accelerator until ``save_audio``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import (
+    load_safetensors_checkpoint,
+    load_torch_checkpoint,
+    restore_checkpoint,
+)
+from .config import DiaConfig, dia_1_6b_config
+from .generate import DiaGenerator
+from .models.dac import (
+    DACConfig,
+    convert_dac_torch_state_dict,
+    decode_codes,
+    encode_audio,
+    init_dac_params,
+    pad_audio,
+)
+from .utils.audio_io import DEFAULT_SAMPLE_RATE, load_audio_mono, write_wav
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+class Dia:
+    """Orchestrator: model params + generator + codec (reference: dia/model.py:101)."""
+
+    def __init__(
+        self,
+        config: DiaConfig,
+        params,
+        compute_dtype: str = "float32",
+        dac_params=None,
+        dac_config: DACConfig | None = None,
+    ):
+        self.config = config
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self.dac_config = dac_config or DACConfig()
+        self.dac_params = dac_params
+        self.generator = DiaGenerator(params, config, compute_dtype)
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_local(
+        cls,
+        config_path: str | Path,
+        checkpoint_path: str | Path,
+        compute_dtype: str = "float32",
+        dac_checkpoint: str | Path | None = None,
+    ) -> "Dia":
+        """Load from a reference-format config.json + checkpoint
+        (reference: dia/model.py:139-187).  Accepts torch .bin/.pth,
+        .safetensors, or an orbax directory."""
+        config = DiaConfig.load(config_path)
+        if config is None:
+            raise FileNotFoundError(f"Config file not found at {config_path}")
+        params = cls._load_params(checkpoint_path, config, compute_dtype)
+        dia = cls(config, params, compute_dtype)
+        if dac_checkpoint is not None:
+            dia.load_dac(dac_checkpoint)
+        return dia
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_name: str = "nari-labs/Dia-1.6B",
+        compute_dtype: str = "float32",
+        dac_checkpoint: str | Path | None = None,
+    ) -> "Dia":
+        """Load from a local directory containing config.json + weights, or a
+        HF Hub repo id when huggingface_hub is importable and online
+        (reference: dia/model.py:189-236)."""
+        path = Path(model_name)
+        if not path.exists():
+            try:
+                from huggingface_hub import snapshot_download
+
+                path = Path(snapshot_download(model_name))
+            except Exception as e:  # offline / hub unavailable
+                raise FileNotFoundError(
+                    f"'{model_name}' is not a local directory and HF Hub download failed: {e}"
+                ) from e
+        config = DiaConfig.load(path / "config.json")
+        if config is None:
+            raise FileNotFoundError(f"config.json not found under {path}")
+        ckpt = None
+        for cand in ("model.safetensors", "pytorch_model.bin", "params"):
+            if (path / cand).exists():
+                ckpt = path / cand
+                break
+        if ckpt is None:
+            raise FileNotFoundError(f"No checkpoint found under {path}")
+        params = cls._load_params(ckpt, config, compute_dtype)
+        dia = cls(config, params, compute_dtype)
+        if dac_checkpoint is not None:
+            dia.load_dac(dac_checkpoint)
+        return dia
+
+    @classmethod
+    def random_init(
+        cls, config: DiaConfig | None = None, seed: int = 0, compute_dtype: str = "float32",
+        with_dac: bool = False,
+    ) -> "Dia":
+        """Random-weight instance (benchmarks / tests / training-from-scratch)."""
+        from .models.dia import init_params
+
+        config = config or dia_1_6b_config()
+        params = init_params(config, jax.random.PRNGKey(seed), _dtype_of(compute_dtype))
+        dia = cls(config, params, compute_dtype)
+        if with_dac:
+            dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(seed + 1))
+        return dia
+
+    @staticmethod
+    def _load_params(checkpoint_path: str | Path, config: DiaConfig, compute_dtype: str):
+        p = Path(checkpoint_path)
+        dtype = _dtype_of(compute_dtype)
+        if p.is_dir():
+            from .models.dia import init_params
+
+            template = jax.eval_shape(
+                lambda: init_params(config, jax.random.PRNGKey(0), dtype)
+            )
+            return restore_checkpoint(p, template)
+        if p.suffix == ".safetensors":
+            return load_safetensors_checkpoint(p, config, dtype=dtype)
+        return load_torch_checkpoint(p, config, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Codec
+    # ------------------------------------------------------------------
+
+    def load_dac(self, checkpoint: str | Path) -> None:
+        """Load DAC weights from a torch DAC checkpoint (.pth dict with
+        'state_dict' or flat) — reference: dia/model.py:238-252."""
+        import torch
+
+        obj = torch.load(str(checkpoint), map_location="cpu", weights_only=False)
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        self.dac_params = convert_dac_torch_state_dict(sd, self.dac_config)
+
+    def _require_dac(self):
+        if self.dac_params is None:
+            raise RuntimeError(
+                "DAC weights not loaded. Call load_dac(path) or construct with dac_params."
+            )
+
+    # ------------------------------------------------------------------
+    # Generation
+    # ------------------------------------------------------------------
+
+    def generate_codes(self, text: str, **kwargs) -> np.ndarray:
+        """Text → undelayed codec tokens [T, C] (no codec decode)."""
+        return self.generator.generate_tokens(text, **kwargs)
+
+    def generate(
+        self,
+        text: str,
+        max_tokens: int | None = None,
+        cfg_scale: float = 3.0,
+        temperature: float = 1.3,
+        top_p: float = 0.95,
+        cfg_filter_top_k: int = 35,
+        audio_prompt: str | np.ndarray | None = None,
+        audio_prompt_text: str | None = None,
+        seed: int | None = None,
+        verbose: bool = False,
+    ) -> np.ndarray | None:
+        """Text → waveform (float32 [T_audio]) — reference: dia/model.py:631-846.
+
+        ``audio_prompt`` may be a WAV path (encoded through the JAX DAC) or a
+        pre-encoded [T, C] code array.
+        """
+        prompt_codes = None
+        if isinstance(audio_prompt, (str, Path)):
+            prompt_codes = self.load_audio(audio_prompt)
+        elif audio_prompt is not None:
+            prompt_codes = np.asarray(audio_prompt)
+
+        codes = self.generator.generate_tokens(
+            text,
+            max_tokens=max_tokens,
+            cfg_scale=cfg_scale,
+            temperature=temperature,
+            top_p=top_p,
+            cfg_filter_top_k=cfg_filter_top_k,
+            audio_prompt_codes=prompt_codes,
+            audio_prompt_text=audio_prompt_text,
+            seed=seed,
+            verbose=verbose,
+        )
+        if codes.shape[0] == 0:
+            return None
+        self._require_dac()
+        wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
+        return np.asarray(wav[0], dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    # Audio I/O
+    # ------------------------------------------------------------------
+
+    def load_audio(self, audio_path: str | Path) -> np.ndarray:
+        """WAV file → DAC codes [T_codes, C] (reference: dia/model.py:546-576)."""
+        self._require_dac()
+        mono = load_audio_mono(audio_path, self.dac_config.sample_rate)
+        mono = pad_audio(mono[None, :], self.dac_config.hop_length)
+        codes = encode_audio(self.dac_params, self.dac_config, jnp.asarray(mono))
+        return np.asarray(codes[0])
+
+    def save_audio(self, path: str | Path, audio: np.ndarray,
+                   sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
+        """Waveform → WAV on disk (reference: dia/model.py:578-595)."""
+        if audio is None:
+            return
+        write_wav(path, audio, sample_rate)
+
+    # ------------------------------------------------------------------
+    # Adapters
+    # ------------------------------------------------------------------
+
+    def load_adapter_weights(self, adapter_path: str | Path, fuse: bool = True) -> None:
+        """Load a LoRA adapter and (by default) fuse it into the base weights
+        (reference intent: dia/model.py:598-628; our adapters are native —
+        see lora.py)."""
+        from .lora import load_adapter, merge_lora
+
+        adapter = load_adapter(adapter_path)
+        if fuse:
+            self.params = merge_lora(self.params, adapter)
+            self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+        else:
+            self._adapter = adapter

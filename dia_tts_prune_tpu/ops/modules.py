@@ -35,6 +35,13 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+def _prec(x: jax.Array):
+    """fp32 operands contract at HIGHEST precision (true fp32 — required for
+    parity with the torch reference; JAX's default is reduced-precision
+    passes); bf16/f16 use the fast MXU default."""
+    return jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def dense_general(x: jax.Array, kernel: jax.Array, axis: tuple[int, ...] = (-1,)) -> jax.Array:
     """Generalized dense layer: contract ``axis`` of ``x`` against the leading
     axes of ``kernel`` (reference: dia/layers.py:55-66). No bias, matching the
@@ -42,8 +49,9 @@ def dense_general(x: jax.Array, kernel: jax.Array, axis: tuple[int, ...] = (-1,)
     """
     norm_axis = tuple(ax if ax >= 0 else x.ndim + ax for ax in axis)
     kernel_axes = tuple(range(len(norm_axis)))
-    out = jnp.tensordot(x.astype(kernel.dtype), kernel, axes=(norm_axis, kernel_axes))
-    return out.astype(x.dtype)
+    x = x.astype(kernel.dtype)
+    out = jnp.tensordot(x, kernel, axes=(norm_axis, kernel_axes), precision=_prec(x))
+    return out
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
@@ -103,7 +111,8 @@ def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
     q: [B, Tq, Nkv, G, H], k: [B, Tk, Nkv, H] -> [B, Nkv, G, Tq, Tk] (fp32).
     """
     return jnp.einsum(
-        "btngh,bsnh->bngts", q, k, preferred_element_type=jnp.float32
+        "btngh,bsnh->bngts", q, k,
+        preferred_element_type=jnp.float32, precision=_prec(q),
     )
 
 
@@ -143,7 +152,7 @@ def sdpa(
     unnorm = jnp.exp(scores - row_max)  # masked entries underflow to exactly 0
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     weights = (unnorm / jnp.maximum(denom, jnp.float32(1e-30))).astype(q.dtype)
-    out = jnp.einsum("bngts,bsnh->btngh", weights, v)
+    out = jnp.einsum("bngts,bsnh->btngh", weights, v, precision=_prec(q))
     return out.reshape(B, Tq, Nq, H)
 
 

@@ -1,0 +1,226 @@
+"""Magnitude pruning as functional mask pytrees.
+
+TPU-native replacement for torch's hook-based pruning machinery
+(reference: dia/pruning_utils.py):
+
+* **Unstructured**: global L1 threshold over every dense kernel (the
+  DenseGeneral population the reference targets, dia/pruning_utils.py:11,
+  42-62) → boolean mask pytree.
+* **Structured**: per-module (per-layer) Ln-norm ranking of slices along a
+  chosen dimension (torch ``prune.ln_structured`` semantics,
+  dia/pruning_utils.py:64-119); modules whose weights lack the dim are
+  skipped, as in the reference.
+* **Permanent apply** = ``weight * mask`` (reference ``make_pruning_permanent``,
+  dia/pruning_utils.py:122-151) — no reparameterization hooks to remove.
+* **Sparsity report** over the prunable population
+  (dia/pruning_utils.py:153-179).
+* **Physical shrinking** for structured FFN pruning: gate/up rows of
+  ``wi_fused`` and matching ``wo`` columns are removed *for real*, producing a
+  smaller config that recompiles to genuinely faster matmuls — beyond the
+  reference, which only zero-masks (SURVEY.md §7 hard part 5).
+
+Masks are ordinary pytrees; apply them at load time and the pruned model runs
+through the identical jitted code path (XLA sees dense tensors with zeros; the
+block-sparse Pallas matmul in ops/kernels exploits high sparsity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DiaConfig
+
+Params = dict[str, Any]
+
+# Dense kernels are the prunable population (reference: DenseGeneral modules).
+# Embeddings and norm scales are excluded, matching the reference's module-type
+# filter (dia/pruning_utils.py:11).
+_PRUNABLE_LEAF = "kernel"
+
+
+def prunable_items(params: Params) -> list[tuple[tuple[str, ...], jax.Array]]:
+    """All (path, kernel) pairs in the prunable population."""
+    out = []
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k == _PRUNABLE_LEAF:
+                out.append((path + (k,), v))
+
+    walk(params, ())
+    return out
+
+
+def _mask_tree_like(params: Params, fn: Callable[[tuple[str, ...], jax.Array], jax.Array | None]) -> Params:
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + (k,))
+            elif k == _PRUNABLE_LEAF:
+                out[k] = fn(path + (k,), v)
+            else:
+                out[k] = None
+        return out
+
+    return walk(params, ())
+
+
+def unstructured_masks(params: Params, amount: float) -> Params:
+    """Global L1 magnitude masks: zero the ``amount`` fraction of smallest-|w|
+    entries across ALL prunable kernels jointly (torch
+    ``prune.global_unstructured`` + ``L1Unstructured`` semantics,
+    dia/pruning_utils.py:42-62)."""
+    if not 0.0 <= amount < 1.0:
+        raise ValueError(f"amount must be in [0, 1): {amount}")
+    items = prunable_items(params)
+    if amount == 0.0:
+        return _mask_tree_like(params, lambda p, w: jnp.ones_like(w, dtype=jnp.bool_))
+    mags = np.concatenate([np.abs(np.asarray(w, dtype=np.float32)).ravel() for _, w in items])
+    k = int(round(amount * mags.size))
+    if k <= 0:
+        threshold = -np.inf
+    else:
+        # torch zeroes exactly k smallest; threshold at the k-th smallest value
+        threshold = np.partition(mags, k - 1)[k - 1]
+
+    def fn(path, w):
+        return jnp.abs(w.astype(jnp.float32)) > threshold
+
+    return _mask_tree_like(params, fn)
+
+
+def structured_masks(
+    params: Params, amount: float, dim: int, n: int = 2, stacked_layer_axis: bool = True
+) -> Params:
+    """Per-module Ln structured masks along ``dim`` of the *per-layer* weight
+    (torch ``prune.ln_structured`` semantics, dia/pruning_utils.py:64-119).
+
+    Our kernels are stacked with a leading layer axis; ``dim`` refers to the
+    reference per-module layout, so ranking is done independently per layer
+    slice.  Kernels whose per-module rank <= dim are skipped (reference
+    behavior at dia/pruning_utils.py:91-94).
+    """
+
+    def per_module_mask(w):  # w: per-layer kernel
+        if dim >= w.ndim:
+            return None
+        axes = tuple(a for a in range(w.ndim) if a != dim)
+        norms = jnp.sum(jnp.abs(w.astype(jnp.float32)) ** n, axis=axes) ** (1.0 / n)
+        size = norms.shape[0]
+        k = int(round(amount * size))  # torch: number of structures to remove
+        if k <= 0:
+            return jnp.ones_like(w, dtype=jnp.bool_)
+        # keep the (size - k) largest-norm slices
+        order = jnp.argsort(norms)
+        keep = jnp.ones((size,), jnp.bool_).at[order[:k]].set(False)
+        shape = [1] * w.ndim
+        shape[dim] = size
+        return jnp.broadcast_to(keep.reshape(shape), w.shape)
+
+    def fn(path, w):
+        if stacked_layer_axis and ("layers" in path):
+            m = jax.vmap(per_module_mask)(w) if per_module_mask(w[0]) is not None else None
+            return m if m is not None else jnp.ones_like(w, dtype=jnp.bool_)
+        m = per_module_mask(w)
+        return m if m is not None else jnp.ones_like(w, dtype=jnp.bool_)
+
+    return _mask_tree_like(params, fn)
+
+
+def apply_masks(params: Params, masks: Params) -> Params:
+    """Permanent pruning: weight * mask (reference make_pruning_permanent)."""
+
+    def combine(w, m):
+        if m is None or not hasattr(m, "dtype"):
+            return w
+        return w * m.astype(w.dtype)
+
+    return jax.tree.map(combine, params, masks, is_leaf=lambda x: x is None)
+
+
+def sparsity_report(params: Params) -> dict[str, float | int]:
+    """Zero-count sparsity over the prunable population
+    (reference: dia/pruning_utils.py:153-179)."""
+    total = 0
+    zeros = 0
+    per_module = {}
+    for path, w in prunable_items(params):
+        wz = int(np.sum(np.asarray(w) == 0))
+        total += int(w.size)
+        zeros += wz
+        per_module[".".join(path[:-1])] = wz / w.size
+    return {
+        "total_params": total,
+        "zero_params": zeros,
+        "sparsity": zeros / total if total else 0.0,
+        "per_module": per_module,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Physical structured shrinking (beyond the reference's zero-masking)
+# ---------------------------------------------------------------------------
+
+
+def shrink_ffn(params: Params, config: DiaConfig, keep_fraction: float) -> tuple[Params, DiaConfig]:
+    """Physically remove the lowest-importance FFN hidden channels.
+
+    Channel importance = L2 norm over the channel's gate row, up row
+    (``wi_fused`` [L, D, 2, F]) and ``wo`` input row ([L, F, D]), computed
+    per layer; the kept channel count is rounded to a multiple of 128 so the
+    shrunken matmuls stay MXU-tile-aligned.  Returns (new_params, new_config)
+    — the recompiled model does proportionally less real work, unlike the
+    reference's masked weights (dia/pruning_utils.py:64-119 only zero-fill).
+
+    All layers keep the same channel *count* (uniform shapes keep the stacked
+    scan layout) but each layer keeps its own best channels.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1]: {keep_fraction}")
+
+    def shrink_stack(layers: Params, n_hidden: int) -> tuple[Params, int]:
+        wi = layers["mlp"]["wi_fused"]["kernel"]  # [L, D, 2, F]
+        wo = layers["mlp"]["wo"]["kernel"]  # [L, F, D]
+        F_dim = wi.shape[-1]
+        keep = max(128, int(round(keep_fraction * F_dim / 128)) * 128)
+        keep = min(keep, F_dim)
+        importance = (
+            jnp.sum(wi.astype(jnp.float32) ** 2, axis=(1, 2))
+            + jnp.sum(wo.astype(jnp.float32) ** 2, axis=2)
+        )  # [L, F]
+        order = jnp.argsort(-importance, axis=1)[:, :keep]  # [L, keep]
+        order = jnp.sort(order, axis=1)
+
+        wi_s = jnp.take_along_axis(wi, order[:, None, None, :], axis=3)
+        wo_s = jnp.take_along_axis(wo, order[:, :, None], axis=1)
+        new_layers = dict(layers)
+        new_layers["mlp"] = {
+            "wi_fused": {"kernel": wi_s},
+            "wo": {"kernel": wo_s},
+        }
+        return new_layers, keep
+
+    new_params = {k: dict(v) for k, v in params.items()}
+    enc_layers, enc_hidden = shrink_stack(params["encoder"]["layers"], config.model.encoder.n_hidden)
+    dec_layers, dec_hidden = shrink_stack(params["decoder"]["layers"], config.model.decoder.n_hidden)
+    new_params["encoder"] = dict(params["encoder"], layers=enc_layers)
+    new_params["decoder"] = dict(params["decoder"], layers=dec_layers)
+
+    new_config = config.model_copy(
+        update={
+            "model": config.model.model_copy(
+                update={
+                    "encoder": config.model.encoder.model_copy(update={"n_hidden": enc_hidden}),
+                    "decoder": config.model.decoder.model_copy(update={"n_hidden": dec_hidden}),
+                }
+            )
+        }
+    )
+    return new_params, new_config

