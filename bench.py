@@ -1,0 +1,96 @@
+"""Benchmark: Dia-1.6B generation realtime factor on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Metric: RTF (generated audio seconds per wall second) for bf16 Dia-1.6B
+single-stream generation (CFG pair, device-resident decode loop), measured on
+the decode loop after compilation.  Baseline: the reference's published bf16
+RTF ≈ 2.1 on an RTX 4090 with torch.compile (BASELINE.md).
+
+Audio seconds per decode step = 1/86.13 (44.1 kHz DAC, hop 512).
+
+Usage:
+  python bench.py                # full 1.6B bf16 on the available accelerator
+  python bench.py --tiny        # tiny config smoke run (CI/CPU)
+  python bench.py --steps 512   # timed decode steps
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+DAC_FRAME_RATE = 44100.0 / 512.0  # ≈ 86.13 codec frames / second of audio
+BASELINE_RTF_BF16 = 2.1  # reference README.md:220-225 (RTX 4090, torch.compile)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
+    parser.add_argument("--steps", type=int, default=512, help="timed decode steps")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import init_params, param_count
+
+    if args.tiny:
+        config = tiny_test_config()
+        steps = min(args.steps, config.data.audio_length - 32)
+    else:
+        config = dia_1_6b_config(weight_dtype=args.dtype)
+        steps = min(args.steps, config.data.audio_length - 32)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
+    gen = DiaGenerator(params, config, args.dtype)
+
+    text = (
+        "[S1] This is a benchmark of the TPU native Dia text to speech system. "
+        "[S2] It measures the realtime factor of autoregressive codec token generation. "
+        "[S1] The quick brown fox jumps over the lazy dog."
+    )
+
+    # Warmup: compiles prepare + decode loop (max_tokens is a traced scalar, so
+    # the timed run reuses this executable).
+    warmup_tokens = 32 + config.data.max_delay + 2
+    gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=1.3, seed=1)
+
+    # Timed run. Random weights never sample EOS in channel 0 spontaneously
+    # (vocab 1028), so the loop runs to the near-max trigger — a stable,
+    # worst-case-length measurement.
+    max_tokens = steps + config.data.max_delay + 2
+    t0 = time.perf_counter()
+    out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=1.3, seed=args.seed)
+    dt = time.perf_counter() - t0
+
+    # steps actually executed = generated rows + trimmed delay tail
+    gen_steps = out.shape[0] + config.data.max_delay
+    tokens_per_sec = gen_steps / dt
+    rtf = tokens_per_sec / DAC_FRAME_RATE
+
+    result = {
+        "metric": "RTF_bf16_dia1.6b_1chip" if not args.tiny else "RTF_tiny_smoke",
+        "value": round(rtf, 4),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASELINE_RTF_BF16, 4),
+        "tokens_per_sec": round(tokens_per_sec, 2),
+        "decode_steps": int(gen_steps),
+        "wall_seconds": round(dt, 3),
+        "params": param_count(params),
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,8 +150,12 @@ def encoder_forward(
     positions: jax.Array,  # [B, T]
     attn_mask: jax.Array,  # bool [B, 1, T, T]
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jax.Array:
-    """Encoder stack (reference: dia/layers.py:445-462). Returns [B, T, D]."""
+    """Encoder stack (reference: dia/layers.py:445-462). Returns [B, T, D].
+
+    ``remat=True`` rematerializes each layer in the backward pass (training
+    memory / FLOPs trade — SURVEY.md §7 hard part 6)."""
     m = config.model
     x = params["encoder"]["embedding"]["embedding"][x_ids].astype(compute_dtype)
     eps = m.normalization_layer_epsilon
@@ -167,6 +171,8 @@ def encoder_forward(
         x = x + mlp_block(lp["mlp"], h)
         return x, None
 
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     x, _ = jax.lax.scan(layer_fn, x, params["encoder"]["layers"])
     return rms_norm(x, params["encoder"]["norm"]["scale"], eps)
 
@@ -266,6 +272,7 @@ def decoder_forward(
     cross_attn_mask: jax.Array | None,
     compute_dtype=jnp.float32,
     return_kv: bool = False,
+    remat: bool = False,
 ):
     """Full-sequence decoder pass — teacher-forced training and prompt prefill
     (reference: dia/layers.py:722-766). Causal self-attention throughout.
@@ -285,6 +292,8 @@ def decoder_forward(
         )
         return x, (k, v) if return_kv else None
 
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     x, kv = jax.lax.scan(layer_fn, x, (params["decoder"]["layers"], cross.k, cross.v))
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps=m.normalization_layer_epsilon)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"])

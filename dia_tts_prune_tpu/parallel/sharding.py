@@ -1,0 +1,158 @@
+"""Mesh construction and sharding rules — the multi-chip layer.
+
+The reference is strictly single-device (SURVEY.md §2c: no torch.distributed,
+no process groups); scale-out here is designed TPU-first:
+
+* a ``jax.sharding.Mesh`` over ICI with axes ``("data", "model")``;
+* tensor parallelism (model axis) over attention heads and FFN hidden dims —
+  on a v5e-4, the decoder's 4 KV heads shard exactly 1 per chip, so
+  decode-step attention reads only local KV cache;
+* data parallelism (data axis) over the batch for training (and the CFG pair
+  / multi-stream serving batches at inference);
+* all collectives (o_proj/wo partial-sum reductions, gradient all-reduces)
+  are emitted by XLA's SPMD partitioner from these shardings — there is no
+  hand-written communication backend to maintain.
+
+Everything here is declarative: ``param_specs`` mirrors the parameter pytree
+with ``PartitionSpec`` leaves; ``shard_params`` commits arrays to the mesh.
+Functions jitted with these inputs are automatically partitioned.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DiaConfig
+
+Params = dict[str, Any]
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+
+def make_mesh(data: int | None = None, model: int | None = None, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Defaults: use every device on the model axis (TP-first — the Dia workload
+    is latency-bound single-stream generation, where TP cuts per-token HBM
+    traffic by the model-axis size).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if model is None and data is None:
+        data, model = 1, n
+    elif model is None:
+        model = n // data
+    elif data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (AXIS_DATA, AXIS_MODEL))
+
+
+def _attn_specs(shard_heads: bool) -> Params:
+    h = AXIS_MODEL if shard_heads else None
+    return {
+        "q_proj": {"kernel": P(None, None, h, None)},  # [L, D, N, H]
+        "k_proj": {"kernel": P(None, None, h, None)},
+        "v_proj": {"kernel": P(None, None, h, None)},
+        "o_proj": {"kernel": P(None, h, None, None)},  # [L, N, H, D] → psum on D
+    }
+
+
+def param_specs(config: DiaConfig) -> Params:
+    """PartitionSpec pytree matching ``models.dia.init_params`` exactly.
+
+    TP plan (SURVEY.md §2c): attention kernels shard on the head axis, FFN on
+    the hidden axis; embeddings, norms and the (small) logits head replicate.
+    """
+    mlp = {
+        "wi_fused": {"kernel": P(None, None, None, AXIS_MODEL)},  # [L, D, 2, F]
+        "wo": {"kernel": P(None, AXIS_MODEL, None)},  # [L, F, D] → psum on D
+    }
+    return {
+        "encoder": {
+            "embedding": {"embedding": P(None, None)},
+            "layers": {
+                "pre_sa_norm": {"scale": P(None, None)},
+                "self_attention": _attn_specs(True),
+                "post_sa_norm": {"scale": P(None, None)},
+                "mlp": dict(mlp),
+            },
+            "norm": {"scale": P(None)},
+        },
+        "decoder": {
+            "embeddings": {"embedding": P(None, None, None)},
+            "layers": {
+                "pre_sa_norm": {"scale": P(None, None)},
+                "self_attention": _attn_specs(True),
+                "pre_ca_norm": {"scale": P(None, None)},
+                "cross_attention": _attn_specs(True),
+                "pre_mlp_norm": {"scale": P(None, None)},
+                "mlp": dict(mlp),
+            },
+            "norm": {"scale": P(None)},
+            # V=1028 is not 128-divisible across 8 chips; replicate (37 MB bf16)
+            "logits_dense": {"kernel": P(None, None, None)},
+        },
+    }
+
+
+def self_cache_spec() -> P:
+    """KV cache [L, B, T, Nkv, H]: shard the head axis (1 head/chip on v5e-4)."""
+    return P(None, None, None, AXIS_MODEL, None)
+
+
+def cross_cache_spec() -> P:
+    """Cross-attn cache [L, B, S, N, H]: shard the head axis."""
+    return P(None, None, None, AXIS_MODEL, None)
+
+
+def batch_spec(ndim: int) -> P:
+    """Shard the leading batch axis over data."""
+    return P(AXIS_DATA, *([None] * (ndim - 1)))
+
+
+def shard_params(params: Params, mesh: Mesh, specs: Params | None = None,
+                 config: DiaConfig | None = None) -> Params:
+    """Commit the parameter pytree to the mesh with the TP layout."""
+    if specs is None:
+        specs = param_specs(config)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Commit input arrays with the batch axis over data."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x)))), tree
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def validate_divisibility(config: DiaConfig, model_size: int) -> list[str]:
+    """Report TP-plan dimensions not divisible by the model-axis size
+    (those fall back to replication-by-XLA; informational)."""
+    issues = []
+    m = config.model
+    checks = {
+        "encoder heads": m.encoder.n_head,
+        "decoder q heads": m.decoder.gqa_query_heads,
+        "decoder kv heads": m.decoder.kv_heads,
+        "cross heads": m.decoder.cross_query_heads,
+        "encoder ffn": m.encoder.n_hidden,
+        "decoder ffn": m.decoder.n_hidden,
+    }
+    for name, dim in checks.items():
+        if dim % model_size != 0:
+            issues.append(f"{name} ({dim}) not divisible by model axis ({model_size})")
+    return issues

@@ -7,10 +7,23 @@ the standard JAX mechanism for validating pjit/sharding without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin registers itself from sitecustomize whenever
+# PALLAS_AXON_POOL_IPS is set; blank it so tests run on the CPU platform with
+# virtual devices (and don't monopolize the real chip).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize may already have imported jax and pinned
+# jax_platforms='axon,cpu' via jax.config — override it back to cpu.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: TP/DP layouts,
+sharded vs single-device numerical equivalence, sharded generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dia_tts_prune_tpu.config import (
+    DataConfig,
+    DecoderConfig,
+    DiaConfig,
+    EncoderConfig,
+    ModelConfig,
+)
+from dia_tts_prune_tpu.models.dia import init_params
+from dia_tts_prune_tpu.parallel.sharding import (
+    make_mesh,
+    param_specs,
+    shard_batch,
+    shard_params,
+    validate_divisibility,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _tp_config():
+    return DiaConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(n_layer=2, n_embd=64, n_hidden=256, n_head=8, head_dim=16),
+            decoder=DecoderConfig(
+                n_layer=2, n_embd=64, n_hidden=256, gqa_query_heads=8, kv_heads=4,
+                gqa_head_dim=16, cross_query_heads=8, cross_head_dim=16,
+            ),
+            src_vocab_size=256,
+            tgt_vocab_size=1028,
+        ),
+        data=DataConfig(text_length=128, audio_length=128),
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=2, model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh2 = make_mesh()  # default: all devices on model
+    assert mesh2.shape["model"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=4)
+
+
+def test_validate_divisibility():
+    cfg = _tp_config()
+    assert validate_divisibility(cfg, 4) == []
+    issues = validate_divisibility(cfg, 16)
+    assert any("kv heads" in i for i in issues)
+
+
+def test_param_specs_match_tree():
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    specs = param_specs(cfg)
+    # same tree structure
+    jax.tree.map(lambda a, b: None, params, specs,
+                 is_leaf=lambda x: isinstance(x, P))
+
+
+def test_sharded_params_placement():
+    cfg = _tp_config()
+    mesh = make_mesh(data=2, model=4)
+    params = shard_params(init_params(cfg, jax.random.PRNGKey(0)), mesh, config=cfg)
+    q = params["decoder"]["layers"]["self_attention"]["q_proj"]["kernel"]
+    # q heads (8) sharded over model axis (4) → each shard holds 2 heads
+    shard_shapes = {s.data.shape for s in q.addressable_shards}
+    assert shard_shapes == {(2, 64, 2, 16)}
+
+
+def test_sharded_loss_matches_single_device():
+    from dia_tts_prune_tpu.train import build_train_batch, compute_loss
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 4
+    text = rng.integers(1, 200, (B, cfg.data.text_length)).astype(np.int32)
+    text[:, 40:] = 0
+    codes = [rng.integers(0, 1024, (60, 9)).astype(np.int32) for _ in range(B)]
+    batch_np = build_train_batch(cfg, text, codes)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    loss_single = float(compute_loss(params, cfg, batch))
+
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    sb = shard_batch(batch, mesh)
+    with mesh:
+        loss_sharded = float(jax.jit(
+            lambda p, b: compute_loss(p, cfg, b)
+        )(sp, sb))
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+
+
+def test_sharded_generation_matches_single_device():
+    """TP-sharded greedy generation must produce the same tokens."""
+    from dia_tts_prune_tpu.generate import DiaGenerator
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    gen = DiaGenerator(params, cfg)
+    ref = gen.generate_tokens("[S1] sharded gen", max_tokens=40, temperature=0.0)
+
+    # kv heads (4) don't divide 8 → use a (2, 4) mesh (v5e-4 TP plan)
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    gen_sharded = DiaGenerator(sp, cfg)
+    with mesh:
+        out = gen_sharded.generate_tokens("[S1] sharded gen", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(out, ref)
