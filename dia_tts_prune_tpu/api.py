@@ -40,6 +40,19 @@ from .models.dac import (
 from .utils.audio_io import DEFAULT_SAMPLE_RATE, load_audio_mono, write_wav
 
 
+def load_dac_config(spec) -> "DACConfig | None":
+    """Accept a DACConfig, a JSON path describing one, or None."""
+    if spec is None or isinstance(spec, DACConfig):
+        return spec
+    import json
+
+    data = json.loads(Path(spec).read_text())
+    for k in ("encoder_rates", "decoder_rates"):
+        if k in data:
+            data[k] = tuple(data[k])
+    return DACConfig(**data)
+
+
 def _dtype_of(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
@@ -73,6 +86,7 @@ class Dia:
         checkpoint_path: str | Path,
         compute_dtype: str = "float32",
         dac_checkpoint: str | Path | None = None,
+        dac_config: "DACConfig | str | Path | None" = None,
     ) -> "Dia":
         """Load from a reference-format config.json + checkpoint
         (reference: dia/model.py:139-187).  Accepts torch .bin/.pth,
@@ -81,7 +95,7 @@ class Dia:
         if config is None:
             raise FileNotFoundError(f"Config file not found at {config_path}")
         params = cls._load_params(checkpoint_path, config, compute_dtype)
-        dia = cls(config, params, compute_dtype)
+        dia = cls(config, params, compute_dtype, dac_config=load_dac_config(dac_config))
         if dac_checkpoint is not None:
             dia.load_dac(dac_checkpoint)
         return dia
@@ -92,6 +106,7 @@ class Dia:
         model_name: str = "nari-labs/Dia-1.6B",
         compute_dtype: str = "float32",
         dac_checkpoint: str | Path | None = None,
+        dac_config: "DACConfig | str | Path | None" = None,
     ) -> "Dia":
         """Load from a local directory containing config.json + weights, or a
         HF Hub repo id when huggingface_hub is importable and online
@@ -117,7 +132,9 @@ class Dia:
         if ckpt is None:
             raise FileNotFoundError(f"No checkpoint found under {path}")
         params = cls._load_params(ckpt, config, compute_dtype)
-        dia = cls(config, params, compute_dtype)
+        if dac_config is None and (path / "dac_config.json").exists():
+            dac_config = path / "dac_config.json"
+        dia = cls(config, params, compute_dtype, dac_config=load_dac_config(dac_config))
         if dac_checkpoint is not None:
             dia.load_dac(dac_checkpoint)
         return dia

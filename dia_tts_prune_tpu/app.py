@@ -1,0 +1,340 @@
+"""Serving front-end: chunked long-form generation with rolling voice
+conditioning, plus a web UI / HTTP API.
+
+Reference: app.py — text chunking by effective characters (tags count as one
+char, :80-121), batches of 4 chunks joined with 0.2 s silences (:206-248),
+rolling self-conditioning (each batch's audio+text become the next batch's
+voice prompt, :221-226), per-batch max-token scaling (:216-218), speed-factor
+resampling (:259-268), optional int8 weight quantization (:51-63 — note the
+reference's quantize call is a no-op on its own model, quirk Q7; ours is real,
+see ops/quant.py).
+
+Front-end: Gradio when installed (reference UI on :7860); otherwise a
+dependency-free stdlib HTTP JSON API with the same pipeline underneath —
+POST /generate {"text": …, "chunk_size": …, "speed_factor": …} → WAV bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+SAMPLE_RATE = 44100
+BATCH_CHUNKS = 4
+SILENCE_SEC = 0.2
+
+
+# ---------------------------------------------------------------------------
+# Chunking (reference: app.py:80-131)
+# ---------------------------------------------------------------------------
+
+
+def count_effective_length(text: str) -> int:
+    """[S1]/[S2] count as one character (reference: app.py:80-82)."""
+    return len(text.replace("[S1]", "¤").replace("[S2]", "¤"))
+
+
+def auto_adjust_chunk_size(text: str, user_chunk_size: int = 0) -> int:
+    """48/64/96 effective chars by input size (reference: app.py:84-97)."""
+    if user_chunk_size > 0:
+        return int(user_chunk_size)
+    effective_chars = count_effective_length(text)
+    if effective_chars <= 1024:
+        return 48
+    if effective_chars <= 4096:
+        return 64
+    return 96
+
+
+def split_by_words_respecting_special_tokens(text: str, max_effective_chars: int = 64) -> list[str]:
+    """Word-preserving splitter (reference: app.py:100-121)."""
+    words = text.split()
+    chunks: list[str] = []
+    current = ""
+    for word in words:
+        tentative = (current + " " + word).strip() if current else word
+        if count_effective_length(tentative) > max_effective_chars:
+            if current:
+                chunks.append(current.strip())
+                current = word
+            else:
+                chunks.append(word)
+                current = ""
+        else:
+            current = tentative
+    if current:
+        chunks.append(current.strip())
+    return chunks
+
+
+def batch_chunks(chunks: list[str], batch_size: int):
+    for i in range(0, len(chunks), batch_size):
+        yield chunks[i : i + batch_size]
+
+
+# ---------------------------------------------------------------------------
+# Pipeline (reference: app.py:142-268)
+# ---------------------------------------------------------------------------
+
+
+def run_inference(
+    dia,
+    text_input: str,
+    audio_prompt_path: str | None = None,
+    audio_prompt_text: str | None = None,
+    max_new_tokens: int = 1024,
+    cfg_scale: float = 3.0,
+    temperature: float = 1.3,
+    top_p: float = 0.95,
+    cfg_filter_top_k: int = 35,
+    speed_factor: float = 1.0,
+    chunk_size: int = 0,
+    seed: int | None = None,
+    verbose: bool = False,
+) -> tuple[int, np.ndarray]:
+    """Chunked generation with rolling self-conditioning.
+
+    Returns (sample_rate, int16 waveform) like the reference Gradio handler.
+    """
+    if not text_input or not text_input.strip():
+        raise ValueError("Text input is empty.")
+
+    chunk_size = auto_adjust_chunk_size(text_input, chunk_size)
+    chunks = split_by_words_respecting_special_tokens(text_input, chunk_size)
+    if verbose:
+        print(f"Chunked into {len(chunks)} chunks of ≤{chunk_size} effective chars.")
+
+    n_batches = -(-len(chunks) // BATCH_CHUNKS)
+    segments: list[np.ndarray] = []
+    prev_audio: np.ndarray | None = None
+    prev_text: str | None = None
+    prompt_path = audio_prompt_path
+    prompt_text = audio_prompt_text
+    tmp_files: list[str] = []
+    t0 = time.time()
+
+    try:
+        for batch_idx, chunk_batch in enumerate(batch_chunks(chunks, BATCH_CHUNKS)):
+            batch_text = "\n".join(c.strip() for c in chunk_batch).strip()
+            if not batch_text:
+                continue
+            # per-batch token budget scaling (reference: app.py:216-218)
+            scaling = count_effective_length(batch_text) / chunk_size
+            adjusted_tokens = max(256, int(max_new_tokens * scaling))
+
+            # rolling self-conditioning (reference: app.py:221-226)
+            if batch_idx > 0 and prev_audio is not None:
+                from .utils.audio_io import write_wav
+
+                f = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+                f.close()
+                write_wav(f.name, prev_audio.astype(np.float32), SAMPLE_RATE)
+                prompt_path = f.name
+                prompt_text = prev_text
+                tmp_files.append(f.name)
+
+            audio = dia.generate(
+                batch_text,
+                max_tokens=adjusted_tokens,
+                cfg_scale=cfg_scale,
+                temperature=temperature,
+                top_p=top_p,
+                cfg_filter_top_k=cfg_filter_top_k,
+                audio_prompt=prompt_path,
+                audio_prompt_text=prompt_text,
+                seed=seed,
+                verbose=verbose,
+            )
+            if audio is not None:
+                segments.append(audio)
+                prev_audio = audio
+                prev_text = batch_text
+                if batch_idx < n_batches - 1:
+                    segments.append(np.zeros(int(SAMPLE_RATE * SILENCE_SEC), np.float32))
+    finally:
+        for f in tmp_files:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+
+    if not segments:
+        return SAMPLE_RATE, np.zeros(0, np.int16)
+    out = np.concatenate(segments)
+    if verbose:
+        print(f"Generated {out.shape[0] / SAMPLE_RATE:.2f}s in {time.time() - t0:.2f}s.")
+
+    # speed factor via linear resample (reference: app.py:259-268)
+    from .utils.audio_io import speed_change
+
+    out = speed_change(out, speed_factor)
+    return SAMPLE_RATE, (np.clip(out, -1, 1) * 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# HTTP API (stdlib; used when gradio is unavailable) and Gradio UI
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(sr: int, pcm16: np.ndarray) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def make_server(dia, host: str = "0.0.0.0", port: int = 7860):
+    """Build the minimal JSON→WAV server: POST /generate, GET /health."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req.get("text", "")
+                sr, pcm = run_inference(
+                    dia,
+                    text,
+                    audio_prompt_path=req.get("audio_prompt"),
+                    audio_prompt_text=req.get("audio_prompt_text"),
+                    max_new_tokens=int(req.get("max_new_tokens", 1024)),
+                    cfg_scale=float(req.get("cfg_scale", 3.0)),
+                    temperature=float(req.get("temperature", 1.3)),
+                    top_p=float(req.get("top_p", 0.95)),
+                    cfg_filter_top_k=int(req.get("cfg_filter_top_k", 35)),
+                    speed_factor=float(req.get("speed_factor", 1.0)),
+                    chunk_size=int(req.get("chunk_size", 0)),
+                    seed=req.get("seed"),
+                )
+                body = _wav_bytes(sr, pcm)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ValueError as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(dia, host: str = "0.0.0.0", port: int = 7860):
+    server = make_server(dia, host, port)
+    print(f"Serving Dia TTS API on http://{host}:{server.server_address[1]} (POST /generate)")
+    server.serve_forever()
+
+
+def serve_gradio(dia, host: str = "0.0.0.0", port: int = 7860):
+    """Gradio UI mirroring the reference app's controls (app.py:296-493)."""
+    import gradio as gr
+
+    def handler(text, prompt_audio, prompt_text, max_new_tokens, cfg_scale, temperature,
+                top_p, cfg_filter_top_k, speed_factor, chunk_size, seed):
+        seed = int(seed) if seed not in (None, "", -1) else None
+        sr, pcm = run_inference(
+            dia, text,
+            audio_prompt_path=prompt_audio, audio_prompt_text=prompt_text or None,
+            max_new_tokens=int(max_new_tokens), cfg_scale=cfg_scale,
+            temperature=temperature, top_p=top_p, cfg_filter_top_k=int(cfg_filter_top_k),
+            speed_factor=speed_factor, chunk_size=int(chunk_size), seed=seed,
+        )
+        return sr, pcm
+
+    demo = gr.Interface(
+        fn=handler,
+        inputs=[
+            gr.Textbox(label="Text ([S1]/[S2] speaker tags)", lines=5),
+            gr.Audio(label="Voice prompt (optional)", type="filepath"),
+            gr.Textbox(label="Voice prompt transcript"),
+            gr.Slider(256, 3072, value=1024, step=64, label="Max new tokens / batch"),
+            gr.Slider(1.0, 6.0, value=3.0, step=0.1, label="CFG scale"),
+            gr.Slider(0.0, 2.0, value=1.3, step=0.05, label="Temperature"),
+            gr.Slider(0.5, 1.0, value=0.95, step=0.01, label="Top-p"),
+            gr.Slider(0, 100, value=35, step=1, label="CFG top-k"),
+            gr.Slider(0.5, 2.0, value=1.0, step=0.05, label="Speed factor"),
+            gr.Slider(0, 128, value=0, step=8, label="Chunk size (0 = auto)"),
+            gr.Number(value=-1, label="Seed (-1 = random)"),
+        ],
+        outputs=gr.Audio(label="Generated audio"),
+        title="Dia TTS (TPU-native)",
+    )
+    demo.launch(server_name=host, server_port=port)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Dia TTS serving app")
+    parser.add_argument("--model-path", type=str, default="nari-labs/Dia-1.6B")
+    parser.add_argument("--dac-checkpoint", type=str, default=None)
+    parser.add_argument("--compute-dtype", type=str, default="bfloat16",
+                        choices=["float16", "bfloat16", "float32"])
+    parser.add_argument("--quantize-int8", action="store_true",
+                        help="int8 weight quantization of dense kernels "
+                             "(real, unlike reference quirk Q7)")
+    parser.add_argument("--host", type=str, default=os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0"))
+    parser.add_argument("--port", type=int, default=int(os.environ.get("GRADIO_SERVER_PORT", 7860)))
+    parser.add_argument("--no-gradio", action="store_true", help="Force the stdlib HTTP API")
+    args = parser.parse_args(argv)
+
+    from .api import Dia
+
+    dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype,
+                              dac_checkpoint=args.dac_checkpoint)
+    if args.quantize_int8:
+        from .ops.quant import quantize_params_int8
+
+        dia.params = quantize_params_int8(dia.params)
+
+    if not args.no_gradio:
+        try:
+            serve_gradio(dia, args.host, args.port)
+            return 0
+        except ImportError:
+            print("gradio not installed — falling back to the stdlib HTTP API.")
+    serve_http(dia, args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

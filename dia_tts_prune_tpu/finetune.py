@@ -1,0 +1,177 @@
+"""Fine-tuning CLI (reference: finetune.py:266-623).
+
+Full or LoRA fine-tuning over an LJSpeech-format dataset, with optional
+pruning before fine-tuning (reference :359-372), periodic checkpointing
+(:563-581) and a final save (:588-621).  Unlike the reference this also
+persists optimizer state and supports resume (SURVEY.md §5).
+
+Run: ``python -m dia_tts_prune_tpu.finetune --model-path … --dataset-dir …
+--output-dir … --adapter-mode lora``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Fine-tune the TPU-native Dia model")
+    p.add_argument("--model-path", type=str, required=True)
+    p.add_argument("--dac-checkpoint", type=str, default=None)
+    p.add_argument("--dataset-dir", type=str, required=True,
+                   help="Directory containing metadata.csv and wavs/")
+    p.add_argument("--output-dir", type=str, required=True)
+
+    t = p.add_argument_group("Training")
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--batch-size", type=int, default=2)
+    t.add_argument("--learning-rate", type=float, default=1e-5)
+    t.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    t.add_argument("--max-grad-norm", type=float, default=1.0)
+    t.add_argument("--weight-decay", type=float, default=0.0)
+    t.add_argument("--lr-scheduler-type", type=str, default="cosine",
+                   choices=["linear", "cosine", "step", "constant"])
+    t.add_argument("--warmup-steps", type=int, default=0)
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    t.add_argument("--loss-mode", type=str, default="delayed", choices=["delayed", "reference"])
+    t.add_argument("--no-remat", action="store_true")
+    t.add_argument("--logging-steps", type=int, default=10)
+    t.add_argument("--save-steps", type=int, default=200)
+
+    a = p.add_argument_group("Adapters (LoRA)")
+    a.add_argument("--adapter-mode", type=str, default="none", choices=["none", "lora"])
+    a.add_argument("--lora-r", type=int, default=8)
+    a.add_argument("--lora-alpha", type=float, default=16.0)
+    a.add_argument("--lora-dropout", type=float, default=0.0)
+    a.add_argument("--lora-target-modules", type=str, nargs="+",
+                   default=["q_proj", "v_proj"])
+
+    pr = p.add_argument_group("Pruning before fine-tuning")
+    pr.add_argument("--prune-before", type=str, default=None,
+                    choices=["unstructured", "structured"])
+    pr.add_argument("--prune-amount", type=float, default=0.5)
+    pr.add_argument("--prune-dim", type=int, default=0)
+
+    m = p.add_argument_group("Parallelism")
+    m.add_argument("--mesh-data", type=int, default=None)
+    m.add_argument("--mesh-model", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from .api import Dia
+    from .data import FineTuneDataset
+    from .lora import LoraConfig, save_adapter
+    from .train import TrainConfig, Trainer
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "training_args.json").write_text(json.dumps(vars(args), indent=2, default=str))
+
+    dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype,
+                              dac_checkpoint=args.dac_checkpoint)
+    params, config = dia.params, dia.config
+
+    if args.prune_before:
+        from .prune import apply_masks, sparsity_report, structured_masks, unstructured_masks
+
+        if args.prune_before == "unstructured":
+            params = apply_masks(params, unstructured_masks(params, args.prune_amount))
+        else:
+            params = apply_masks(
+                params, structured_masks(params, args.prune_amount, dim=args.prune_dim)
+            )
+        print(f"Pruned before fine-tuning: sparsity={sparsity_report(params)['sparsity']:.4f}")
+
+    dia._require_dac()
+    dataset = FineTuneDataset(
+        Path(args.dataset_dir) / "metadata.csv", Path(args.dataset_dir) / "wavs",
+        config, dia.dac_params, dia.dac_config, loss_mode=args.loss_mode,
+    )
+    steps_per_epoch = max(1, len(dataset) // args.batch_size)
+    num_training_steps = args.epochs * steps_per_epoch
+
+    tc = TrainConfig(
+        learning_rate=args.learning_rate,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_grad_norm=args.max_grad_norm,
+        lr_scheduler_type=args.lr_scheduler_type,
+        warmup_steps=args.warmup_steps,
+        weight_decay=args.weight_decay,
+        adapter_mode=args.adapter_mode,
+        lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha, dropout=args.lora_dropout,
+                        target_modules=tuple(args.lora_target_modules)),
+        loss_mode=args.loss_mode,
+        remat=not args.no_remat,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        logging_steps=args.logging_steps,
+        save_steps=args.save_steps,
+    )
+
+    mesh = None
+    if args.mesh_data or args.mesh_model:
+        from .parallel.sharding import make_mesh, shard_params
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        params = shard_params(params, mesh, config=config)
+        print(f"Sharded params over mesh {dict(mesh.shape)}")
+
+    trainer = Trainer(params, config, tc, num_training_steps, mesh=mesh)
+
+    print(f"Fine-tuning: {len(dataset)} items, {num_training_steps} steps, "
+          f"mode={args.adapter_mode}")
+    t0 = time.time()
+    window: list[float] = []
+    for epoch in range(args.epochs):
+        for batch in dataset.batches(args.batch_size, shuffle=True, seed=args.seed + epoch):
+            metrics = trainer.step(batch)
+            window.append(metrics["loss"])
+            step = metrics["step"]
+            if step % args.logging_steps == 0:
+                print(f"step {step}/{num_training_steps} "
+                      f"loss={np.mean(window):.4f} ({time.time() - t0:.1f}s)")
+                window.clear()
+            if args.save_steps > 0 and step % args.save_steps == 0:
+                trainer.save(out / "checkpoints", step=step)
+
+    # Final save (reference: finetune.py:588-621)
+    config.save(out / "config.json")
+    if args.adapter_mode == "lora":
+        save_adapter(out / "adapter", trainer.adapter())
+        print(f"Saved LoRA adapter to {out / 'adapter'}")
+    final = trainer.trained_params()
+    try:
+        import torch
+
+        from .checkpoint import to_torch_state_dict
+
+        sd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
+              for k, v in to_torch_state_dict(final, config).items()}
+        torch.save(sd, out / "pytorch_model.bin")
+        print(f"Saved fine-tuned model to {out / 'pytorch_model.bin'}")
+    except ImportError:
+        from safetensors.numpy import save_file
+
+        from .checkpoint import to_torch_state_dict
+
+        save_file({k: np.asarray(v, np.float32) for k, v in to_torch_state_dict(final, config).items()},
+                  str(out / "model.safetensors"))
+        print(f"Saved fine-tuned model to {out / 'model.safetensors'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

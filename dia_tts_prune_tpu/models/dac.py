@@ -375,6 +375,56 @@ def _res_from_sd(sd, prefix):
     }
 
 
+def to_dac_torch_state_dict(params: Params, config: DACConfig) -> dict[str, np.ndarray]:
+    """Inverse of ``convert_dac_torch_state_dict``: export this module's params
+    in the descript-audio-codec checkpoint naming (plain weights, no weight
+    norm).  Used for interop tests and shipping converted codecs."""
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["weight"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_res(prefix, p):
+        sd[f"{prefix}.block.0.alpha"] = np.asarray(p["snake1"]["alpha"])
+        put_conv(f"{prefix}.block.1", p["conv1"])
+        sd[f"{prefix}.block.2.alpha"] = np.asarray(p["snake2"]["alpha"])
+        put_conv(f"{prefix}.block.3", p["conv2"])
+
+    enc = params["encoder"]
+    put_conv("encoder.block.0", enc["stem"])
+    for b, blk in enumerate(enc["blocks"]):
+        pre = f"encoder.block.{b + 1}"
+        put_res(f"{pre}.block.0", blk["res1"])
+        put_res(f"{pre}.block.1", blk["res2"])
+        put_res(f"{pre}.block.2", blk["res3"])
+        sd[f"{pre}.block.3.alpha"] = np.asarray(blk["snake"]["alpha"])
+        put_conv(f"{pre}.block.4", blk["conv"])
+    n_enc = len(config.encoder_rates)
+    sd[f"encoder.block.{n_enc + 1}.alpha"] = np.asarray(enc["snake"]["alpha"])
+    put_conv(f"encoder.block.{n_enc + 2}", enc["head"])
+
+    dec = params["decoder"]
+    put_conv("decoder.model.0", dec["stem"])
+    for b, blk in enumerate(dec["blocks"]):
+        pre = f"decoder.model.{b + 1}"
+        sd[f"{pre}.block.0.alpha"] = np.asarray(blk["snake"]["alpha"])
+        put_conv(f"{pre}.block.1", blk["conv_t"])
+        put_res(f"{pre}.block.2", blk["res1"])
+        put_res(f"{pre}.block.3", blk["res2"])
+        put_res(f"{pre}.block.4", blk["res3"])
+    n_dec = len(config.decoder_rates)
+    sd[f"decoder.model.{n_dec + 1}.alpha"] = np.asarray(dec["snake"]["alpha"])
+    put_conv(f"decoder.model.{n_dec + 2}", dec["head"])
+
+    for i, q in enumerate(params["quantizer"]["quantizers"]):
+        pre = f"quantizer.quantizers.{i}"
+        put_conv(f"{pre}.in_proj", q["in_proj"])
+        put_conv(f"{pre}.out_proj", q["out_proj"])
+        sd[f"{pre}.codebook.weight"] = np.asarray(q["codebook"]["embedding"])
+    return sd
+
+
 def convert_dac_torch_state_dict(state_dict: Mapping[str, Any], config: DACConfig) -> Params:
     """Convert the published torch DAC checkpoint (descript-audio-codec weight
     naming: encoder.block.{i}, decoder.model.{i}, quantizer.quantizers.{i})

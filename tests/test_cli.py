@@ -1,0 +1,159 @@
+"""CLI tests: drive `python -m dia_tts_prune_tpu.cli` end-to-end against a
+local tiny checkpoint + tiny DAC checkpoint; flag validation; offline_prune
+and finetune CLIs."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from dia_tts_prune_tpu.api import Dia  # noqa: E402
+from dia_tts_prune_tpu.checkpoint import to_torch_state_dict  # noqa: E402
+from dia_tts_prune_tpu.config import tiny_test_config  # noqa: E402
+from dia_tts_prune_tpu.models.dac import (  # noqa: E402
+    DACConfig,
+    init_dac_params,
+    to_dac_torch_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    """A local model dir in reference layout + a torch DAC checkpoint."""
+    d = tmp_path_factory.mktemp("model")
+    cfg = tiny_test_config()
+    dia = Dia.random_init(cfg, seed=0)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          to_torch_state_dict(dia.params, cfg).items()}
+    torch.save(sd, d / "pytorch_model.bin")
+    cfg.save(d / "config.json")
+
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=(2, 4), decoder_dim=32,
+                        decoder_rates=(4, 2), n_codebooks=9, codebook_size=1024,
+                        codebook_dim=4)
+    dac_params = init_dac_params(dac_cfg, jax.random.PRNGKey(1))
+    dac_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+              to_dac_torch_state_dict(dac_params, dac_cfg).items()}
+    torch.save({"state_dict": dac_sd}, d / "dac.pth")
+    return d, dac_cfg
+
+
+def _patch_dac_config(monkeypatch, dac_cfg):
+    # the CLI constructs Dia with the default 44.1kHz DACConfig; point it at
+    # the tiny one for the test checkpoint
+    import dia_tts_prune_tpu.api as api_mod
+
+    monkeypatch.setattr(api_mod, "DACConfig", lambda: dac_cfg)
+
+
+def test_cli_generate(model_dir, tmp_path, monkeypatch):
+    from dia_tts_prune_tpu.cli import main
+
+    d, dac_cfg = model_dir
+    _patch_dac_config(monkeypatch, dac_cfg)
+    out = tmp_path / "out.wav"
+    rc = main([
+        "[S1] CLI end to end.", "--output", str(out),
+        "--model-path", str(d), "--dac-checkpoint", str(d / "dac.pth"),
+        "--temperature", "0.0", "--max-tokens", "48",
+        "--compute-dtype", "float32", "--verbose",
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 44
+
+
+def test_cli_pruned_checkpoint_path(model_dir, tmp_path, monkeypatch):
+    from dia_tts_prune_tpu.cli import main
+
+    d, dac_cfg = model_dir
+    _patch_dac_config(monkeypatch, dac_cfg)
+    out = tmp_path / "pruned.wav"
+    rc = main([
+        "[S1] pruned path.", "--output", str(out),
+        "--model-path", str(d),
+        "--config", str(d / "config.json"),
+        "--pruned-checkpoint", str(d / "pytorch_model.bin"),
+        "--dac-checkpoint", str(d / "dac.pth"),
+        "--temperature", "0.0", "--max-tokens", "40", "--compute-dtype", "float32",
+    ])
+    assert rc == 0 and out.exists()
+
+
+def test_cli_requires_prompt_text(model_dir):
+    from dia_tts_prune_tpu.cli import main
+
+    d, _ = model_dir
+    with pytest.raises(SystemExit):
+        main(["x", "--output", "o.wav", "--model-path", str(d),
+              "--audio-prompt", "p.wav"])
+
+
+def test_cli_missing_model_errors(tmp_path):
+    from dia_tts_prune_tpu.cli import main
+
+    rc = main(["x", "--output", str(tmp_path / "o.wav"),
+               "--model-path", str(tmp_path / "nope")])
+    assert rc == 1
+
+
+def test_offline_prune_cli(model_dir, tmp_path):
+    from dia_tts_prune_tpu.offline_prune import main
+
+    d, _ = model_dir
+    out = tmp_path / "pruned_model"
+    rc = main([
+        "--model-path", str(d), "--output-dir", str(out),
+        "--prune-mode", "unstructured", "--prune-amount", "0.5",
+    ])
+    assert rc == 0
+    assert (out / "config.json").exists()
+    assert (out / "pytorch_model.bin").exists()
+    import json
+
+    report = json.loads((out / "prune_report.json").read_text())
+    assert abs(report["sparsity"] - 0.5) < 0.01
+
+    # the pruned artifact loads back through the same CLI-visible path
+    dia = Dia.from_local(out / "config.json", out / "pytorch_model.bin")
+    codes = dia.generate_codes("[S1] check", max_tokens=32, temperature=0.0)
+    assert codes.shape[0] > 0
+
+
+def test_offline_prune_rejects_bad_amount(model_dir, tmp_path):
+    from dia_tts_prune_tpu.offline_prune import main
+
+    d, _ = model_dir
+    with pytest.raises(SystemExit):
+        main(["--model-path", str(d), "--output-dir", str(tmp_path / "x"),
+              "--prune-mode", "unstructured", "--prune-amount", "1.5"])
+
+
+def test_finetune_cli_smoke(model_dir, tmp_path, monkeypatch):
+    """Tiny end-to-end fine-tune through the CLI: datagen → finetune → artifacts."""
+    from dia_tts_prune_tpu.datagen import generate_dataset
+    from dia_tts_prune_tpu.finetune import main
+
+    d, dac_cfg = model_dir
+    _patch_dac_config(monkeypatch, dac_cfg)
+
+    # build a 3-sample dataset with the tiny model itself
+    dia = Dia.from_pretrained(str(d), dac_checkpoint=str(d / "dac.pth"))
+    dia.dac_config = dac_cfg
+    dia.load_dac(d / "dac.pth")
+    generate_dataset(dia, tmp_path / "data", num_samples=3, min_len_sec=0,
+                     max_len_sec=6, temperature=0.0, max_tokens=48)
+
+    out = tmp_path / "ft"
+    rc = main([
+        "--model-path", str(d), "--dac-checkpoint", str(d / "dac.pth"),
+        "--dataset-dir", str(tmp_path / "data"), "--output-dir", str(out),
+        "--epochs", "1", "--batch-size", "2", "--learning-rate", "1e-4",
+        "--adapter-mode", "lora", "--lora-r", "2", "--compute-dtype", "float32",
+        "--no-remat", "--save-steps", "0", "--logging-steps", "1",
+    ])
+    assert rc == 0
+    assert (out / "adapter" / "adapter_weights.npz").exists()
+    assert (out / "pytorch_model.bin").exists()
+    assert (out / "training_args.json").exists()
