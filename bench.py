@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=512, help="timed decode steps")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--temperature", type=float, default=1.3)
+    parser.add_argument("--top-k", type=int, default=35)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -62,14 +64,16 @@ def main(argv=None):
     # Warmup: compiles prepare + decode loop (max_tokens is a traced scalar, so
     # the timed run reuses this executable).
     warmup_tokens = 32 + config.data.max_delay + 2
-    gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=1.3, seed=1)
+    gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=args.temperature,
+                        cfg_filter_top_k=args.top_k, seed=1)
 
     # Timed run. Random weights never sample EOS in channel 0 spontaneously
     # (vocab 1028), so the loop runs to the near-max trigger — a stable,
     # worst-case-length measurement.
     max_tokens = steps + config.data.max_delay + 2
     t0 = time.perf_counter()
-    out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=1.3, seed=args.seed)
+    out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=args.temperature,
+                              cfg_filter_top_k=args.top_k, seed=args.seed)
     dt = time.perf_counter() - t0
 
     # steps actually executed = generated rows + trimmed delay tail
@@ -88,6 +92,7 @@ def main(argv=None):
         "params": param_count(params),
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
+        "temperature": args.temperature,
     }
     print(json.dumps(result))
 

@@ -48,7 +48,7 @@ from .models.dia import (
     new_self_cache,
     precompute_cross_cache,
 )
-from .ops.delay import revert_audio_delay
+from .ops.delay import revert_audio_delay_np
 from .ops.masks import create_attn_mask
 from .ops.sampling import apply_constraints, cfg_combine
 from .state import (
@@ -157,8 +157,31 @@ def decode_loop(
     cfg_filter_top_k: int,
     compute_dtype_name: str = "float32",
 ):
-    """The hot loop. Returns (tokens_buf, final_dec_step)."""
-    compute_dtype = _dtype_of(compute_dtype_name)
+    """The hot loop as a standalone jitted entry. Returns (tokens_buf, final_dec_step)."""
+    return _decode_loop_core(
+        params, config, tokens_buf, self_cache, cross_cache, cross_mask, key,
+        prefill_step, max_tokens, cfg_scale, temperature, top_p,
+        greedy, cfg_filter_top_k, _dtype_of(compute_dtype_name),
+    )
+
+
+def _decode_loop_core(
+    params,
+    config: DiaConfig,
+    tokens_buf: jax.Array,
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    key: jax.Array,
+    prefill_step: jax.Array,
+    max_tokens: jax.Array,
+    cfg_scale: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype,
+):
     d = config.data
     delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
     max_delay = d.max_delay
@@ -232,15 +255,90 @@ def decode_loop(
 
 
 def _traced_sample(key, logits, temperature, top_p, cfg_filter_top_k: int):
-    """Sampler variant with *traced* temperature/top_p (no recompiles when the
-    user sweeps them); top-k is static (lax.top_k requires static k)."""
-    from .ops.sampling import top_k_filter, top_p_filter
+    """Sampler with *traced* temperature/top_p (no recompiles on sweeps);
+    top-k is static (lax.top_k requires static k).
+
+    Hot-loop note: a vocab-wide ``argsort`` costs milliseconds per step on
+    TPU (bitonic sort), dominating the decode step.  When top-k is active
+    (the reference default, k=35), ``lax.top_k`` already returns values
+    sorted descending, so the nucleus (top-p) rule runs on just those k
+    values — exactly equivalent to the reference's sort-based recipe
+    (dia/model.py:44-70) because non-top-k tokens carry zero probability.
+    """
+    from .ops.sampling import NEG, top_p_filter
 
     logits = logits / temperature
     if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
-        logits = top_k_filter(logits, cfg_filter_top_k)
-    logits = top_p_filter(logits, top_p)
+        vals, idx = jax.lax.top_k(logits, cfg_filter_top_k)  # sorted desc [C, K]
+        probs = jax.nn.softmax(vals, axis=-1)  # == softmax of the masked vocab
+        cum = jnp.cumsum(probs, axis=-1)
+        remove = jnp.roll(cum > top_p, 1, axis=-1).at[..., 0].set(False)
+        vals = jnp.where(remove, NEG, vals)
+        choice = jax.random.categorical(key, vals, axis=-1)  # [C]
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+    logits = top_p_filter(logits, top_p)  # rare path: full-vocab nucleus
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "prefill_window", "greedy", "cfg_filter_top_k",
+                     "compute_dtype_name"),
+    donate_argnames=("tokens_buf",),
+)
+def generate_fused(
+    params,
+    config: DiaConfig,
+    enc_input: jax.Array,  # [2, T_text] int32
+    tokens_buf: jax.Array,  # [T_max, C] int32 with prefill template
+    int_args: jax.Array,  # [3] int32: prefill_step, max_tokens, seed
+    float_args: jax.Array,  # [3] f32: cfg_scale, temperature, top_p
+    prefill_window: int | None,
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype_name: str,
+):
+    """Whole generation — conditioning, prompt prefill, decode loop — as ONE
+    compiled dispatch.
+
+    A single device call matters twice: it is the p50 time-to-first-audio
+    floor, and on remote-attached TPUs every extra transfer/dispatch pays a
+    round trip (measured ~2s of fixed overhead per generate call before this
+    fusion).  Scalars arrive packed in two tiny arrays; the KV cache is
+    allocated inside the program (never transferred).
+    """
+    compute_dtype = _dtype_of(compute_dtype_name)
+    prefill_step = int_args[0]
+    max_tokens = int_args[1]
+    key = jax.random.PRNGKey(int_args[2])
+    cfg_scale, temperature, top_p = float_args[0], float_args[1], float_args[2]
+
+    enc_state = new_encoder_state(config, enc_input)
+    enc_out = encoder_forward(
+        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    )
+    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
+    cross_mask = cross_attention_mask(enc_state.padding_mask)
+    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype)
+
+    if prefill_window is not None:
+        window_tokens = jnp.clip(tokens_buf[:prefill_window], 0)
+        tgt = jnp.broadcast_to(window_tokens[None], (CFG_BATCH, *window_tokens.shape))
+        positions = jnp.broadcast_to(
+            jnp.arange(prefill_window, dtype=jnp.int32)[None], (CFG_BATCH, prefill_window)
+        )
+        valid = positions < (prefill_step - 1)
+        prefill_mask = create_attn_mask(valid, valid, is_causal=True)
+        _, self_cache = decoder_prefill(
+            params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
+            self_cache, compute_dtype,
+        )
+
+    return _decode_loop_core(
+        params, config, tokens_buf, self_cache, cross_cache, cross_mask, key,
+        prefill_step, max_tokens, cfg_scale, temperature, top_p,
+        greedy, cfg_filter_top_k, compute_dtype,
+    )
 
 
 class DiaGenerator:
@@ -275,35 +373,30 @@ class DiaGenerator:
         if audio_prompt_codes is not None and not audio_prompt_text:
             raise ValueError("`audio_prompt_text` is required when `audio_prompt_codes` is provided.")
         effective_text = build_effective_text(text, audio_prompt_text)
-        enc_input = jnp.asarray(encode_cfg_batch(effective_text, d.text_length, d.text_pad_value))
+        enc_input = encode_cfg_batch(effective_text, d.text_length, d.text_pad_value)
         max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
 
         delayed, prefill_step = prepare_audio_prompt(cfg, audio_prompt_codes)
         tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
         tokens_buf[: delayed.shape[0]] = delayed
-        tokens_buf = jnp.asarray(tokens_buf)
 
-        t0 = time.perf_counter()
-        enc_out, cross_cache, cross_mask, _ = prepare_conditioning(
-            self.params, cfg, enc_input, self.compute_dtype
-        )
-        self_cache = new_self_cache(cfg, CFG_BATCH, dtype=_dtype_of(self.compute_dtype))
-
+        # one compiled dispatch for the whole call: conditioning + prefill +
+        # decode loop, scalars packed into two tiny arrays (transfer count
+        # dominates time-to-first-audio on remote-attached accelerators)
+        window = None
         if prefill_step > 1:
             window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
-            self_cache = run_prefill(
-                self.params, cfg, tokens_buf, jnp.asarray(prefill_step - 1, jnp.int32),
-                cross_cache, cross_mask, self_cache, window, self.compute_dtype,
-            )
+        int_args = np.asarray(
+            [prefill_step, max_tokens, 0 if seed is None else seed], np.int32
+        )
+        float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
 
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        tokens, final_step = decode_loop(
-            self.params, cfg, tokens_buf, self_cache, cross_cache, cross_mask, key,
-            jnp.asarray(prefill_step, jnp.int32), jnp.asarray(max_tokens, jnp.int32),
-            jnp.asarray(cfg_scale, jnp.float32), jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(top_p, jnp.float32),
-            greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
-            compute_dtype_name=self.compute_dtype,
+        t0 = time.perf_counter()
+        tokens, final_step = generate_fused(
+            self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
+            jnp.asarray(int_args), jnp.asarray(float_args),
+            prefill_window=window, greedy=(temperature == 0.0),
+            cfg_filter_top_k=cfg_filter_top_k, compute_dtype_name=self.compute_dtype,
         )
         tokens = np.asarray(tokens)
         final_step = int(final_step)
@@ -317,12 +410,11 @@ class DiaGenerator:
             return np.zeros((0, d.channels), dtype=np.int32)
 
         # Delay-revert + tail trim + clamp (reference: dia/model.py:490-530).
-        reverted = np.asarray(
-            revert_audio_delay(
-                jnp.asarray(generated)[None], d.audio_pad_value,
-                tuple(d.delay_pattern), generated.shape[0],
-            )[0]
-        )
+        # Host-side: the generated length varies per call and a jitted gather
+        # would recompile for every new length.
+        reverted = revert_audio_delay_np(
+            generated[None], d.audio_pad_value, tuple(d.delay_pattern), generated.shape[0]
+        )[0]
         reverted = reverted[: max(0, reverted.shape[0] - d.max_delay)]
         invalid = (reverted < 0) | (reverted > 1023)
         reverted = np.where(invalid, 0, reverted)

@@ -78,3 +78,22 @@ def revert_audio_delay(
     )
     pad = jnp.asarray(pad_value, dtype=audio_BxTxC.dtype)
     return jnp.where(t_idx >= T, pad, gathered)
+
+
+def revert_audio_delay_np(audio_BxTxC, pad_value: int, delay_pattern, T: int | None = None):
+    """Host (numpy) revert — identical semantics to ``revert_audio_delay``.
+
+    The generated length varies per call; running the gather on host avoids
+    recompiling a jitted gather for every distinct length (a fresh XLA compile
+    per generate call measured ~2s on remote-attached TPUs).
+    """
+    import numpy as np
+
+    audio = np.asarray(audio_BxTxC)
+    B, T_arr, C = audio.shape
+    if T is None:
+        T = T_arr
+    delay = np.asarray(delay_pattern, dtype=np.int32)
+    t_idx = np.minimum(np.arange(T_arr, dtype=np.int32)[None, :, None] + delay[None, None, :], T_arr - 1)
+    gathered = np.take_along_axis(audio, np.broadcast_to(t_idx, (B, T_arr, C)), axis=1)
+    return np.where(t_idx >= T, np.asarray(pad_value, audio.dtype), gathered)

@@ -79,7 +79,17 @@ def sample_next_token(
         return jnp.argmax(logits_CxV, axis=-1).astype(jnp.int32)
     logits = logits_CxV / temperature
     if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
-        logits = top_k_filter(logits, cfg_filter_top_k)
+        # lax.top_k returns values sorted descending: run the nucleus rule on
+        # just the k survivors (vocab-wide argsort is milliseconds on TPU and
+        # the excluded tokens carry zero probability — exact equivalence).
+        vals, idx = jax.lax.top_k(logits, cfg_filter_top_k)
+        if top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            remove = jnp.roll(cum > top_p, 1, axis=-1).at[..., 0].set(False)
+            vals = jnp.where(remove, NEG, vals)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
     if top_p < 1.0:
         logits = top_p_filter(logits, top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -29,7 +29,11 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         raw = f.readframes(n_frames)
 
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        from .. import native
+
+        pcm = np.frombuffer(raw, dtype="<i2")
+        fast = native.pcm16_to_f32(pcm)
+        data = fast if fast is not None else pcm.astype(np.float32) / 32768.0
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 3:
@@ -59,7 +63,10 @@ def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int = DEFAULT_SA
     if not np.issubdtype(audio.dtype, np.floating):
         audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
     audio = np.clip(audio, -1.0, 1.0)
-    pcm = np.round(audio.T * 32767.0).astype("<i2")  # [T, C]
+    from .. import native
+
+    fast = native.f32_to_pcm16(np.ascontiguousarray(audio.T, np.float32))
+    pcm = fast if fast is not None else np.round(audio.T * 32767.0).astype("<i2")  # [T, C]
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with wave.open(str(path), "wb") as f:
         f.setnchannels(pcm.shape[1])
