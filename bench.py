@@ -34,6 +34,8 @@ def main(argv=None):
                         choices=["bfloat16", "float32"])
     parser.add_argument("--temperature", type=float, default=1.3)
     parser.add_argument("--top-k", type=int, default=35)
+    parser.add_argument("--int8", action="store_true",
+                        help="packed int8 weights via the Pallas int8 matmul")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -53,6 +55,10 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
+    if args.int8:
+        from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+        params = quantize_params_int8_packed(params)
     gen = DiaGenerator(params, config, args.dtype)
 
     text = (
@@ -82,7 +88,8 @@ def main(argv=None):
     rtf = tokens_per_sec / DAC_FRAME_RATE
 
     result = {
-        "metric": "RTF_bf16_dia1.6b_1chip" if not args.tiny else "RTF_tiny_smoke",
+        "metric": ("RTF_int8_dia1.6b_1chip" if args.int8 else "RTF_bf16_dia1.6b_1chip")
+        if not args.tiny else "RTF_tiny_smoke",
         "value": round(rtf, 4),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / BASELINE_RTF_BF16, 4),

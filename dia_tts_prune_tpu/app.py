@@ -322,9 +322,7 @@ def main(argv=None) -> int:
     dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype,
                               dac_checkpoint=args.dac_checkpoint)
     if args.quantize_int8:
-        from .ops.quant import quantize_params_int8
-
-        dia.params = quantize_params_int8(dia.params)
+        dia.quantize_int8()
 
     if not args.no_gradio:
         try:

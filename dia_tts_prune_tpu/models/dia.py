@@ -138,6 +138,18 @@ def _layer_slice(layers: Params, i) -> Params:
     return jax.tree.map(lambda a: a[i], layers)
 
 
+def _decode_attn_impl() -> str:
+    """'pallas' = valid-prefix decode-attention kernel (reads only generated
+    slots); 'xla' = full-length masked attention. Env-gated for A/B tuning;
+    pallas only makes sense on TPU backends."""
+    import os
+
+    impl = os.environ.get("DIA_DECODE_ATTN", "xla")
+    if impl == "pallas" and jax.default_backend() not in ("tpu", "axon"):
+        return "xla"
+    return impl
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -396,7 +408,15 @@ def decode_step(
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None], (i, 0, write_slot.astype(jnp.int32), 0, 0)
         )
-        sa = sdpa(q, new_k[i].astype(compute_dtype), new_v[i].astype(compute_dtype), self_mask)
+        if _decode_attn_impl() == "pallas":
+            from ..ops.kernels.decode_attention import decode_attention
+
+            sa = decode_attention(
+                q[:, 0], new_k[i].astype(compute_dtype), new_v[i].astype(compute_dtype),
+                write_slot + 1,
+            )[:, None]
+        else:
+            sa = sdpa(q, new_k[i].astype(compute_dtype), new_v[i].astype(compute_dtype), self_mask)
         x = x + attention_out(lp["self_attention"], sa)
 
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)

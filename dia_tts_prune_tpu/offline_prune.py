@@ -23,12 +23,16 @@ def main(argv=None) -> int:
                         help="Local model dir (config.json + weights) or HF repo id.")
     parser.add_argument("--output-dir", type=str, required=True)
     parser.add_argument("--prune-mode", type=str, required=True,
-                        choices=["unstructured", "structured", "shrink-ffn"])
+                        choices=["unstructured", "structured", "block", "shrink-ffn"])
     parser.add_argument("--prune-amount", type=float, required=True,
                         help="Fraction of weights/structures to prune (0, 1).")
     parser.add_argument("--prune-dim", type=int, default=0,
                         help="Structured mode: dimension of the per-module weight to prune along.")
     parser.add_argument("--prune-norm", type=int, default=2, choices=[1, 2])
+    parser.add_argument("--block-size", type=int, nargs=2, default=[256, 256],
+                        metavar=("BK", "BN"),
+                        help="block mode: block granularity (matches the "
+                             "block-sparse matmul kernel's DMA tiles)")
     parser.add_argument("--compute-dtype", type=str, default="float32", choices=["float32"])
     parser.add_argument("--save-format", type=str, default="auto",
                         choices=["auto", "torch", "safetensors"])
@@ -39,7 +43,14 @@ def main(argv=None) -> int:
 
     from .api import Dia
     from .checkpoint import to_torch_state_dict
-    from .prune import apply_masks, shrink_ffn, sparsity_report, structured_masks, unstructured_masks
+    from .prune import (
+        apply_masks,
+        block_masks,
+        shrink_ffn,
+        sparsity_report,
+        structured_masks,
+        unstructured_masks,
+    )
 
     t0 = time.time()
     dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype)
@@ -52,6 +63,9 @@ def main(argv=None) -> int:
         pruned = apply_masks(params, masks)
     elif args.prune_mode == "structured":
         masks = structured_masks(params, args.prune_amount, dim=args.prune_dim, n=args.prune_norm)
+        pruned = apply_masks(params, masks)
+    elif args.prune_mode == "block":
+        masks = block_masks(params, args.prune_amount, block=tuple(args.block_size))
         pruned = apply_masks(params, masks)
     else:  # shrink-ffn: physically smaller shapes (beyond the reference)
         pruned, config = shrink_ffn(params, config, keep_fraction=1.0 - args.prune_amount)

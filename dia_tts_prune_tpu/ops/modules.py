@@ -42,16 +42,62 @@ def _prec(x: jax.Array):
     return jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
 
-def dense_general(x: jax.Array, kernel: jax.Array, axis: tuple[int, ...] = (-1,)) -> jax.Array:
+def dense_general(x: jax.Array, kernel, axis: tuple[int, ...] = (-1,)) -> jax.Array:
     """Generalized dense layer: contract ``axis`` of ``x`` against the leading
     axes of ``kernel`` (reference: dia/layers.py:55-66). No bias, matching the
     reference. Lowers to one ``dot_general``.
+
+    ``kernel`` may be a ``QuantizedKernel`` (int8 values + per-channel
+    scales), in which case the contraction runs through the int8 Pallas
+    matmul on TPU (halved weight bytes on the bandwidth-bound decode path) or
+    a dequantize-then-dot fallback elsewhere.
     """
+    if type(kernel).__name__ == "QuantizedKernel":
+        return _dense_general_q(x, kernel, axis)
     norm_axis = tuple(ax if ax >= 0 else x.ndim + ax for ax in axis)
     kernel_axes = tuple(range(len(norm_axis)))
     x = x.astype(kernel.dtype)
     out = jnp.tensordot(x, kernel, axes=(norm_axis, kernel_axes), precision=_prec(x))
     return out
+
+
+def _use_pallas_int8() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _dense_general_q(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
+    """int8-kernel contraction. Trailing contraction axes only (all call
+    sites contract trailing axes)."""
+    import math as _math
+
+    n_in = len(axis)
+    in_shape = qk.values.shape[:n_in]
+    out_shape = qk.values.shape[n_in:]
+    K = _math.prod(in_shape)
+    N = _math.prod(out_shape)
+    lead = x.shape[: x.ndim - n_in]
+    x2 = x.reshape(-1, K)
+    w2 = qk.values.reshape(K, N)
+    scale = jnp.broadcast_to(qk.scale, (1,) * n_in + out_shape).reshape(N)
+    import os as _os
+
+    mode = _os.environ.get("DIA_INT8_IMPL", "xla")
+    if _use_pallas_int8() and x2.shape[0] <= 64 and mode == "pallas":
+        # hand-rolled streaming kernel (kept for tuning; XLA's s8 dot
+        # currently pipelines better)
+        from .kernels.int8_matmul import int8_matmul
+
+        y = int8_matmul(x2, w2, scale)
+    elif _use_pallas_int8() and mode != "dequant":
+        # XLA-native dynamic int8: s8×s8 MXU contraction, int8 weight bytes
+        from .kernels.int8_matmul import int8_matmul_xla
+
+        y = int8_matmul_xla(x2, w2, scale)
+    else:
+        from .kernels.int8_matmul import int8_matmul_reference
+
+        y = int8_matmul_reference(x2, w2, scale)
+    return y.reshape(*lead, *out_shape)
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:

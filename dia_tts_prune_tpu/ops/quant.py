@@ -29,9 +29,16 @@ class QuantizedKernel(NamedTuple):
     scale: jax.Array  # fp32, broadcastable per-output-channel scales
 
 
-def quantize_int8(w: jax.Array, channel_axis: int = -1) -> QuantizedKernel:
-    """Symmetric per-channel int8: q = round(w / s), s = max|w| / 127."""
-    axes = tuple(a for a in range(w.ndim) if a != (channel_axis % w.ndim))
+def quantize_int8(
+    w: jax.Array, channel_axis: int = -1, preserve_axes: tuple[int, ...] = ()
+) -> QuantizedKernel:
+    """Symmetric per-channel int8: q = round(w / s), s = max|w| / 127.
+
+    ``preserve_axes`` keeps additional axes in the scale (e.g. the stacked
+    layer axis, so scanned layer pytrees keep a leading ``L`` on every leaf
+    and each layer gets its own scales)."""
+    keep = {channel_axis % w.ndim} | {a % w.ndim for a in preserve_axes}
+    axes = tuple(a for a in range(w.ndim) if a not in keep)
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axes, keepdims=True)
     scale = jnp.maximum(absmax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
@@ -43,32 +50,42 @@ def dequantize(qk: QuantizedKernel, dtype=jnp.float32) -> jax.Array:
 
 
 def _map_kernels(params: Params, fn) -> Params:
-    def walk(tree):
+    def walk(tree, path):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
-                out[k] = walk(v)
+                out[k] = walk(v, path + (k,))
             elif k == "kernel":
-                out[k] = fn(v)
+                out[k] = fn(v, path + (k,))
             else:
                 out[k] = v
         return out
 
-    return walk(params)
+    return walk(params, ())
+
+
+def _preserve_for(path: tuple[str, ...]) -> tuple[int, ...]:
+    # stacked per-layer kernels carry a leading L axis that scan requires on
+    # every leaf — keep it in the scale (per-layer scales are also better)
+    return (0,) if "layers" in path else ()
 
 
 def quantize_params_int8(params: Params) -> Params:
     """Fake-quantize every dense kernel (int8 precision, original dtype)."""
 
-    def fq(w):
-        return dequantize(quantize_int8(w), dtype=w.dtype)
+    def fq(w, path):
+        return dequantize(quantize_int8(w, preserve_axes=_preserve_for(path)), dtype=w.dtype)
 
     return _map_kernels(params, fq)
 
 
 def quantize_params_int8_packed(params: Params) -> Params:
     """Pack every dense kernel as a QuantizedKernel (int8 + scales)."""
-    return _map_kernels(params, quantize_int8)
+
+    def pk(w, path):
+        return quantize_int8(w, preserve_axes=_preserve_for(path))
+
+    return _map_kernels(params, pk)
 
 
 def quantization_error(params: Params) -> float:

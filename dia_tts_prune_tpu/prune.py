@@ -164,6 +164,76 @@ def sparsity_report(params: Params) -> dict[str, float | int]:
     }
 
 
+def block_masks(
+    params: Params, amount: float, block: tuple[int, int] = (256, 256),
+    scope: str = "global",
+) -> Params:
+    """Block-granular magnitude masks — the TPU-native pruning mode.
+
+    Ranks (block_k, block_n) weight blocks by L1 norm over the flattened
+    per-module [K, N] view and zeroes the ``amount`` fraction with the
+    smallest norms (globally across modules by default, per torch's
+    global_unstructured spirit).  The resulting zeros align with the
+    block-sparse matmul kernel's DMA granularity, so pruned inference reads
+    proportionally fewer weight bytes (ops/kernels/sparse_matmul.py) —
+    unlike element-level masks, which leave HBM traffic unchanged.
+
+    Stacked layer kernels are ranked per layer slice (each [in..., out...]
+    module flattened to 2D).
+    """
+    if not 0.0 <= amount < 1.0:
+        raise ValueError(f"amount must be in [0, 1): {amount}")
+    bk, bn = block
+
+    def module_block_norms(w2):  # [K, N] → block norm grid + shapes
+        K, N = w2.shape
+        nk, nn = -(-K // bk), -(-N // bn)
+        padded = jnp.zeros((nk * bk, nn * bn), jnp.float32).at[:K, :N].set(
+            jnp.abs(w2.astype(jnp.float32))
+        )
+        blocks = padded.reshape(nk, bk, nn, bn)
+        return jnp.sum(blocks, axis=(1, 3))  # [nk, nn] L1 norms
+
+    items = prunable_items(params)
+    norms = []
+    metas = []
+    for path, w in items:
+        stacked = "layers" in path
+        ws = w if stacked else w[None]
+        L = ws.shape[0]
+        # flatten per module to 2D [K, N]: K = first in-dim, N = rest
+        w2 = ws.reshape(L, ws.shape[1], -1)
+        g = jax.vmap(module_block_norms)(w2)  # [L, nk, nn]
+        norms.append(np.asarray(g).ravel())
+        metas.append((path, w2.shape, g.shape))
+
+    if scope == "global":
+        all_norms = np.concatenate(norms)
+        k = int(round(amount * all_norms.size))
+        threshold = -np.inf if k <= 0 else np.partition(all_norms, k - 1)[k - 1]
+    else:
+        threshold = None  # per-module below
+
+    masks_by_path = {}
+    for (path, w2_shape, g_shape), n in zip(metas, norms):
+        if threshold is None:
+            k = int(round(amount * n.size))
+            thr = -np.inf if k <= 0 else np.partition(n, k - 1)[k - 1]
+        else:
+            thr = threshold
+        keep = (n > thr).reshape(g_shape)  # [L, nk, nn]
+        masks_by_path[path] = (keep, w2_shape)
+
+    def fn(path, w):
+        keep, (L, K, N) = masks_by_path[path]
+        m = np.repeat(np.repeat(np.asarray(keep), bk, axis=1), bn, axis=2)[:, :K, :N]
+        if "layers" in path:
+            return jnp.asarray(m.reshape(w.shape))
+        return jnp.asarray(m[0].reshape(w.shape))
+
+    return _mask_tree_like(params, fn)
+
+
 # ---------------------------------------------------------------------------
 # Physical structured shrinking (beyond the reference's zero-masking)
 # ---------------------------------------------------------------------------
