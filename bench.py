@@ -87,6 +87,13 @@ def main(argv=None):
     tokens_per_sec = gen_steps / dt
     rtf = tokens_per_sec / DAC_FRAME_RATE
 
+    # time-to-first-audio proxy: a minimal-length generate call (includes
+    # conditioning, compile-cache hit, transfers, and the first audio frames)
+    t1 = time.perf_counter()
+    gen.generate_tokens(text, max_tokens=8 + config.data.max_delay + 2,
+                        temperature=args.temperature, cfg_filter_top_k=args.top_k, seed=2)
+    ttfa = time.perf_counter() - t1
+
     result = {
         "metric": ("RTF_int8_dia1.6b_1chip" if args.int8 else "RTF_bf16_dia1.6b_1chip")
         if not args.tiny else "RTF_tiny_smoke",
@@ -100,6 +107,7 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "temperature": args.temperature,
+        "ttfa_seconds": round(ttfa, 3),
     }
     print(json.dumps(result))
 

@@ -273,14 +273,57 @@ class Dia:
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
 
     def load_adapter_weights(self, adapter_path: str | Path, fuse: bool = True) -> None:
-        """Load a LoRA adapter and (by default) fuse it into the base weights
-        (reference intent: dia/model.py:598-628; our adapters are native —
-        see lora.py)."""
+        """Load a LoRA adapter and fuse it into the base weights (reference
+        intent: dia/model.py:598-628; our adapters are native — see lora.py).
+
+        The fused delta is tracked so ``unload_adapter`` / ``set_adapter`` can
+        switch adapters exactly (fp32 merge is invertible)."""
         from .lora import load_adapter, merge_lora
 
         adapter = load_adapter(adapter_path)
-        if fuse:
-            self.params = merge_lora(self.params, adapter)
-            self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
-        else:
+        if not fuse:
             self._adapter = adapter
+            return
+        self.unload_adapter()
+        self.params = merge_lora(self.params, adapter)
+        self._active_adapter = adapter
+        self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+
+    def unload_adapter(self) -> None:
+        """Un-merge the active adapter (exact inverse of the fuse)."""
+        from .lora import merge_lora
+
+        active = getattr(self, "_active_adapter", None)
+        if active is not None:
+            self.params = merge_lora(self.params, active, sign=-1.0)
+            self._active_adapter = None
+            self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+
+    def set_adapter(self, adapter_path: str | Path) -> None:
+        """Swap the active adapter (unload current, fuse new) — the
+        reference's PEFT set_adapter analogue (dia/model.py:621-625)."""
+        self.load_adapter_weights(adapter_path, fuse=True)
+
+    def save_pretrained(self, directory: str | Path) -> None:
+        """Write a reference-compatible model dir: config.json +
+        model.safetensors (+ dac_config.json when a non-default codec is
+        configured).  Loadable by both ``from_pretrained`` here and (after
+        renaming to pytorch_model.bin via torch) the torch reference."""
+        import json
+
+        from safetensors.numpy import save_file
+
+        from .checkpoint import to_torch_state_dict
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        self.config.save(directory / "config.json")
+        sd = {k: np.ascontiguousarray(v) for k, v in
+              to_torch_state_dict(self.params, self.config).items()}
+        save_file(sd, str(directory / "model.safetensors"))
+        if self.dac_config != DACConfig():
+            from dataclasses import asdict
+
+            (directory / "dac_config.json").write_text(
+                json.dumps(asdict(self.dac_config), indent=2)
+            )

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-remat", action="store_true")
     t.add_argument("--logging-steps", type=int, default=10)
     t.add_argument("--save-steps", type=int, default=200)
+    t.add_argument("--resume-from", type=str, default=None,
+                   help="checkpoint dir (or its parent) written by a previous run")
 
     a = p.add_argument_group("Adapters (LoRA)")
     a.add_argument("--adapter-mode", type=str, default="none", choices=["none", "lora"])
@@ -130,6 +132,9 @@ def main(argv=None) -> int:
         print(f"Sharded params over mesh {dict(mesh.shape)}")
 
     trainer = Trainer(params, config, tc, num_training_steps, mesh=mesh)
+    if args.resume_from:
+        step = trainer.restore(args.resume_from)
+        print(f"Resumed from step {step} ({args.resume_from})")
 
     print(f"Fine-tuning: {len(dataset)} items, {num_training_steps} steps, "
           f"mode={args.adapter_mode}")

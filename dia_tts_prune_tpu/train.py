@@ -330,3 +330,26 @@ class Trainer:
             payload["params"] = self.params
         payload["opt_state"] = self.opt_state
         save_checkpoint(directory, payload, step=step)
+
+    def restore(self, directory) -> int:
+        """Resume params/adapter + optimizer state + step from a checkpoint
+        directory written by ``save`` (the resume story the reference lacks —
+        SURVEY.md §5: 'no optimizer-state saving and no resume-from-step').
+
+        Returns the restored global step."""
+        from .checkpoint import latest_step_dir, restore_checkpoint
+
+        directory = latest_step_dir(directory) or directory
+        template = {"step": self.global_step, "opt_state": self.opt_state}
+        if self.tc.adapter_mode == "lora":
+            template["adapter_weights"] = self.adapter_weights
+        else:
+            template["params"] = self.params
+        restored = restore_checkpoint(directory, template)
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["step"])
+        if self.tc.adapter_mode == "lora":
+            self.adapter_weights = restored["adapter_weights"]
+        else:
+            self.params = restored["params"]
+        return self.global_step

@@ -90,3 +90,48 @@ def test_from_pretrained_local_dir(tiny_dia, tmp_path):
     tiny_dia.config.save(tmp_path / "config.json")
     dia2 = Dia.from_pretrained(str(tmp_path))
     assert dia2.config == tiny_dia.config
+
+
+def test_save_pretrained_round_trip(tiny_dia, tmp_path):
+    tiny_dia.save_pretrained(tmp_path / "saved")
+    assert (tmp_path / "saved" / "model.safetensors").exists()
+    assert (tmp_path / "saved" / "dac_config.json").exists()  # non-default codec
+    dia2 = Dia.from_pretrained(str(tmp_path / "saved"))
+    assert dia2.dac_config == tiny_dia.dac_config
+    a = tiny_dia.generate_codes("[S1] sp", max_tokens=32, temperature=0.0)
+    b = dia2.generate_codes("[S1] sp", max_tokens=32, temperature=0.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adapter_load_unload_switch(tiny_dia, tmp_path):
+    import jax
+
+    from dia_tts_prune_tpu.lora import LoraConfig, init_lora, save_adapter
+
+    base = tiny_dia.generate_codes("[S1] ad", max_tokens=32, temperature=0.0)
+    for i, name in enumerate(("a1", "a2")):
+        ad = init_lora(tiny_dia.params, LoraConfig(r=2), jax.random.PRNGKey(i))
+        ad["weights"] = jax.tree.map(lambda x: x + 0.02 * (i + 1), ad["weights"])
+        save_adapter(tmp_path / name, ad)
+
+    tiny_dia.load_adapter_weights(tmp_path / "a1")
+    out1 = tiny_dia.generate_codes("[S1] ad", max_tokens=32, temperature=0.0)
+    tiny_dia.set_adapter(tmp_path / "a2")  # unloads a1, fuses a2
+    out2 = tiny_dia.generate_codes("[S1] ad", max_tokens=32, temperature=0.0)
+    tiny_dia.unload_adapter()
+    out3 = tiny_dia.generate_codes("[S1] ad", max_tokens=32, temperature=0.0)
+    assert not np.array_equal(base, out1) or base.shape != out1.shape
+    assert not np.array_equal(out1, out2) or out1.shape != out2.shape
+    np.testing.assert_array_equal(base, out3)  # exact unmerge restores base
+
+
+def test_orbax_checkpoint_round_trip(tiny_dia, tmp_path):
+    import jax
+
+    from dia_tts_prune_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    save_checkpoint(tmp_path / "orbax", {"params": tiny_dia.params}, step=3)
+    template = {"params": jax.tree.map(lambda x: x, tiny_dia.params)}
+    restored = restore_checkpoint(tmp_path / "orbax" / "step_3", template)
+    for a, b in zip(jax.tree.leaves(tiny_dia.params), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

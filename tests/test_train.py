@@ -147,3 +147,19 @@ def test_trainer_save_and_resume(setup, tmp_path):
     trainer.save(tmp_path, step=trainer.global_step)
     d = latest_step_dir(tmp_path)
     assert d is not None and d.name == "step_1"
+
+
+def test_trainer_restore_resumes(setup, tmp_path):
+    """save → fresh trainer → restore → training continues from the same state."""
+    cfg, params, batch = setup
+    tc = TrainConfig(learning_rate=1e-3, remat=False)
+    t1 = Trainer(params, cfg, tc, num_training_steps=10)
+    t1.step(batch)
+    t1.step(batch)
+    t1.save(tmp_path, step=t1.global_step)
+    expected_next = t1.step(batch)["loss"]
+
+    t2 = Trainer(params, cfg, tc, num_training_steps=10)
+    assert t2.restore(tmp_path) == 2
+    got_next = t2.step(batch)["loss"]
+    np.testing.assert_allclose(got_next, expected_next, rtol=1e-5)
