@@ -75,6 +75,20 @@ def load_reference():
 
     st.KVCache.prefill = kv_prefill
 
+    # --- Q13 patch: the generation loop crashes at its first step —
+    # dia/model.py:759 does get_tokens_at(t-1) [1, C] → unsqueeze ×2 →
+    # [1,1,1,C] → expand(2, 1, -1), a rank mismatch.  Make the single-step
+    # read return [C] so the loop's expand produces the intended [2, 1, C]
+    # (the two-arg prefill read keeps its [T, C] shape).
+    _orig_get = st.DecoderOutput.get_tokens_at
+
+    def get_tokens_at(self, step_from, step_to=None):
+        if step_to is None:
+            return self.generated_tokens[step_from, :]
+        return _orig_get(self, step_from, step_to)
+
+    st.DecoderOutput.get_tokens_at = get_tokens_at
+
     _cache["mods"] = (cfg, st, ly, au)
     return _cache["mods"]
 
