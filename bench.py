@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=35)
     parser.add_argument("--int8", action="store_true",
                         help="packed int8 weights via the Pallas int8 matmul")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="N independent streams decoded in one batched loop")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -67,23 +69,38 @@ def main(argv=None):
         "[S1] The quick brown fox jumps over the lazy dog."
     )
 
+    texts = [text] * args.batch if args.batch > 1 else None
+
     # Warmup: compiles prepare + decode loop (max_tokens is a traced scalar, so
     # the timed run reuses this executable).
     warmup_tokens = 32 + config.data.max_delay + 2
-    gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=args.temperature,
-                        cfg_filter_top_k=args.top_k, seed=1)
+    if texts:
+        gen.generate_tokens_batch(texts, max_tokens=warmup_tokens,
+                                  temperature=args.temperature,
+                                  cfg_filter_top_k=args.top_k, seed=1)
+    else:
+        gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=args.temperature,
+                            cfg_filter_top_k=args.top_k, seed=1)
 
     # Timed run. Random weights never sample EOS in channel 0 spontaneously
     # (vocab 1028), so the loop runs to the near-max trigger — a stable,
     # worst-case-length measurement.
     max_tokens = steps + config.data.max_delay + 2
     t0 = time.perf_counter()
-    out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=args.temperature,
-                              cfg_filter_top_k=args.top_k, seed=args.seed)
+    if texts:
+        outs = gen.generate_tokens_batch(texts, max_tokens=max_tokens,
+                                         temperature=args.temperature,
+                                         cfg_filter_top_k=args.top_k, seed=args.seed)
+        out = outs[0]
+        gen_rows = sum(o.shape[0] for o in outs) + args.batch * config.data.max_delay
+    else:
+        out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=args.temperature,
+                                  cfg_filter_top_k=args.top_k, seed=args.seed)
+        gen_rows = out.shape[0] + config.data.max_delay
     dt = time.perf_counter() - t0
 
-    # steps actually executed = generated rows + trimmed delay tail
-    gen_steps = out.shape[0] + config.data.max_delay
+    # aggregate steps executed across streams (+ trimmed delay tails)
+    gen_steps = gen_rows
     tokens_per_sec = gen_steps / dt
     rtf = tokens_per_sec / DAC_FRAME_RATE
 
@@ -95,8 +112,11 @@ def main(argv=None):
     ttfa = time.perf_counter() - t1
 
     result = {
-        "metric": ("RTF_int8_dia1.6b_1chip" if args.int8 else "RTF_bf16_dia1.6b_1chip")
-        if not args.tiny else "RTF_tiny_smoke",
+        "metric": (
+            "RTF_tiny_smoke" if args.tiny
+            else ("RTF_int8_dia1.6b_1chip" if args.int8 else "RTF_bf16_dia1.6b_1chip")
+            + (f"_batch{args.batch}" if args.batch > 1 else "")
+        ),
         "value": round(rtf, 4),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / BASELINE_RTF_BF16, 4),
@@ -108,6 +128,7 @@ def main(argv=None):
         "dtype": args.dtype,
         "temperature": args.temperature,
         "ttfa_seconds": round(ttfa, 3),
+        "batch": args.batch,
     }
     print(json.dumps(result))
 

@@ -238,6 +238,33 @@ class Dia:
         wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
         return np.asarray(wav[0], dtype=np.float32)
 
+    def generate_batch(
+        self,
+        texts: list[str],
+        max_tokens: int | None = None,
+        cfg_scale: float = 3.0,
+        temperature: float = 1.3,
+        top_p: float = 0.95,
+        cfg_filter_top_k: int = 35,
+        seed: int | None = None,
+    ) -> list[np.ndarray | None]:
+        """Batched serving: N prompts decoded in one device-resident loop,
+        then one batched codec decode.  Beyond the reference, which is
+        single-stream only (SURVEY.md Q4)."""
+        codes_list = self.generator.generate_tokens_batch(
+            texts, max_tokens=max_tokens, cfg_scale=cfg_scale, temperature=temperature,
+            top_p=top_p, cfg_filter_top_k=cfg_filter_top_k, seed=seed,
+        )
+        self._require_dac()
+        outs: list[np.ndarray | None] = []
+        for codes in codes_list:
+            if codes.shape[0] == 0:
+                outs.append(None)
+                continue
+            wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
+            outs.append(np.asarray(wav[0], dtype=np.float32))
+        return outs
+
     # ------------------------------------------------------------------
     # Audio I/O
     # ------------------------------------------------------------------

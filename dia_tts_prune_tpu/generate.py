@@ -34,6 +34,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -341,6 +342,132 @@ def generate_fused(
     )
 
 
+class BatchLoopState(NamedTuple):
+    """Carry of the multi-stream decode loop (N independent prompts)."""
+
+    tokens: jax.Array  # int32 [N, T_max, C]
+    cache: KVCache  # [L, 2N, T, Nkv, H]
+    key: jax.Array
+    t: jax.Array  # int32 scalar: current step index
+    eos_detected: jax.Array  # bool [N]
+    eos_countdown: jax.Array  # int32 [N]
+    stopped: jax.Array  # bool [N]
+    final_step: jax.Array  # int32 [N]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "greedy", "cfg_filter_top_k", "compute_dtype_name"),
+    donate_argnames=("tokens_buf",),
+)
+def generate_fused_batch(
+    params,
+    config: DiaConfig,
+    enc_input: jax.Array,  # [2N, T_text]: rows [uncond×N ; cond×N]
+    tokens_buf: jax.Array,  # [N, T_max, C] with BOS templates
+    int_args: jax.Array,  # [2] int32: max_tokens, seed
+    float_args: jax.Array,  # [3] f32: cfg_scale, temperature, top_p
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype_name: str,
+):
+    """N-stream batched generation (no audio prompts) in one dispatch.
+
+    Decoding is weight-bandwidth-bound: every stream shares the same weight
+    reads per step, so aggregate codec-tokens/s scales nearly linearly with N
+    until compute/VMEM limits.  Per-stream EOS state machines are vectorized;
+    finished streams freeze (their rows stop being written) until all stop.
+    The single-stream semantics per stream are identical to generate_fused.
+    """
+    compute_dtype = _dtype_of(compute_dtype_name)
+    d = config.data
+    N = tokens_buf.shape[0]
+    max_tokens = int_args[0]
+    key = jax.random.PRNGKey(int_args[1])
+    cfg_scale, temperature, top_p = float_args[0], float_args[1], float_args[2]
+    delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
+    max_delay = d.max_delay
+    eos, pad = d.audio_eos_value, d.audio_pad_value
+
+    enc_state = new_encoder_state(config, enc_input)
+    enc_out = encoder_forward(
+        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    )
+    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
+    cross_mask = cross_attention_mask(enc_state.padding_mask)
+    self_cache = new_self_cache(config, 2 * N, dtype=compute_dtype)
+
+    def cond(s: BatchLoopState):
+        return (s.t < max_tokens - 1) & (~jnp.all(s.stopped))
+
+    def body(s: BatchLoopState) -> BatchLoopState:
+        t = s.t + 1
+        prev = jax.lax.dynamic_slice(
+            s.tokens, (0, t - 1, 0), (N, 1, d.channels)
+        )  # [N, 1, C]
+        tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
+        position = jnp.full((2 * N, 1), t, dtype=jnp.int32)
+        logits, new_cache = decode_step(
+            params, config, tgt, position, (t - 1).astype(jnp.int32),
+            s.cache, cross_cache, cross_mask, compute_dtype,
+        )  # [2N, 1, C, V]
+        uncond = logits[:N, 0]
+        cond_l = logits[N:, 0]
+        guided = cond_l + cfg_scale * (cond_l - uncond)  # [N, C, V]
+        guided = jax.vmap(lambda g: apply_constraints(g, eos, pad, d.audio_bos_value))(guided)
+
+        key, sub = jax.random.split(s.key)
+        if greedy:
+            pred = jnp.argmax(guided, axis=-1).astype(jnp.int32)  # [N, C]
+        else:
+            pred = _traced_sample(sub, guided, temperature, top_p, cfg_filter_top_k)
+
+        newly_eos = (~s.eos_detected) & (pred[:, 0] == eos)
+        eos_detected = s.eos_detected | newly_eos
+        countdown = jnp.where(newly_eos, max_delay, s.eos_countdown)
+
+        active = countdown > 0
+        step_after = (max_delay - countdown)[:, None]  # [N, 1]
+        force_eos = active[:, None] & (step_after == delay[None, :])
+        force_pad = active[:, None] & (step_after > delay[None, :]) & (pred != eos)
+        pred = jnp.where(force_eos, eos, jnp.where(force_pad, pad, pred))
+        countdown = jnp.where(active, countdown - 1, countdown)
+
+        # BOS-window masked write + freeze finished streams
+        row = jax.lax.dynamic_slice(s.tokens, (0, t, 0), (N, 1, d.channels))[:, 0]
+        bos_window = t <= max_delay - 1  # scalar (no prompts → template len 1+max_delay)
+        write = jnp.where(bos_window & (row != -1), row, pred)
+        write = jnp.where(s.stopped[:, None], row, write)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, write[:, None], (0, t, 0))
+
+        stop_now = (countdown == 0) & (~s.stopped)
+        final_step = jnp.where(s.stopped, s.final_step, jnp.where(stop_now, t - 1, t))
+        stopped = s.stopped | stop_now
+
+        near_max = (t >= max_tokens - max_delay - 1) & (~eos_detected)
+        eos_detected = eos_detected | near_max
+        countdown = jnp.where(near_max, max_delay, countdown)
+
+        return BatchLoopState(
+            tokens=tokens, cache=new_cache, key=key, t=t,
+            eos_detected=eos_detected, eos_countdown=countdown,
+            stopped=stopped, final_step=final_step,
+        )
+
+    init = BatchLoopState(
+        tokens=tokens_buf,
+        cache=self_cache,
+        key=key,
+        t=jnp.asarray(0, jnp.int32),
+        eos_detected=jnp.zeros((N,), jnp.bool_),
+        eos_countdown=jnp.full((N,), -1, jnp.int32),
+        stopped=jnp.zeros((N,), jnp.bool_),
+        final_step=jnp.zeros((N,), jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens, final.final_step
+
+
 class DiaGenerator:
     """User-facing generation orchestrator (reference API: dia/model.py:631-846).
 
@@ -419,3 +546,66 @@ class DiaGenerator:
         invalid = (reverted < 0) | (reverted > 1023)
         reverted = np.where(invalid, 0, reverted)
         return reverted.astype(np.int32)
+
+    def generate_tokens_batch(
+        self,
+        texts: list[str],
+        max_tokens: int | None = None,
+        cfg_scale: float = 3.0,
+        temperature: float = 1.3,
+        top_p: float = 0.95,
+        cfg_filter_top_k: int = 35,
+        seed: int | None = None,
+    ) -> list[np.ndarray]:
+        """N independent prompts → N undelayed token arrays, decoded in one
+        batched device-resident loop (2N CFG rows).  Aggregate throughput
+        scales with N because every stream shares the per-step weight reads.
+        Audio prompts are not supported in the batched path (streams would
+        need per-stream prefill lengths) — use generate_tokens per stream.
+        """
+        cfg = self.config
+        d = cfg.data
+        max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
+        N = len(texts)
+        if N == 0:
+            return []
+
+        conds = [
+            encode_cfg_batch(build_effective_text(t), d.text_length, d.text_pad_value)
+            for t in texts
+        ]
+        # rows [uncond×N ; cond×N]
+        enc_input = np.concatenate(
+            [np.stack([c[0] for c in conds]), np.stack([c[1] for c in conds])], axis=0
+        )
+
+        delayed, prefill_step = prepare_audio_prompt(cfg, None)
+        assert prefill_step == 1
+        tokens_buf = np.full((N, d.audio_length, d.channels), -1, dtype=np.int32)
+        tokens_buf[:, : delayed.shape[0]] = delayed[None]
+
+        int_args = np.asarray([max_tokens, 0 if seed is None else seed], np.int32)
+        float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
+        tokens, final_steps = generate_fused_batch(
+            self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
+            jnp.asarray(int_args), jnp.asarray(float_args),
+            greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
+            compute_dtype_name=self.compute_dtype,
+        )
+        tokens = np.asarray(tokens)
+        final_steps = np.asarray(final_steps)
+
+        outs = []
+        for i in range(N):
+            generated = tokens[i, 1 : int(final_steps[i]) + 1]
+            if generated.shape[0] == 0:
+                outs.append(np.zeros((0, d.channels), np.int32))
+                continue
+            reverted = revert_audio_delay_np(
+                generated[None], d.audio_pad_value, tuple(d.delay_pattern),
+                generated.shape[0],
+            )[0]
+            reverted = reverted[: max(0, reverted.shape[0] - d.max_delay)]
+            reverted = np.where((reverted < 0) | (reverted > 1023), 0, reverted)
+            outs.append(reverted.astype(np.int32))
+        return outs

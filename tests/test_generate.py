@@ -89,3 +89,28 @@ def test_eos_state_machine_unit():
     # run with the full budget: near-max trigger forces the countdown
     out = gen.generate_tokens("[S1] q", temperature=0.0)
     assert out.shape[0] <= cfg.data.audio_length
+
+
+def test_batched_generation_matches_single(tiny_gen):
+    """Each stream of the batched loop must reproduce the single-stream
+    output exactly under greedy decoding."""
+    texts = ["[S1] first prompt", "[S2] a different second prompt entirely"]
+    singles = [tiny_gen.generate_tokens(t, max_tokens=48, temperature=0.0) for t in texts]
+    batched = tiny_gen.generate_tokens_batch(texts, max_tokens=48, temperature=0.0)
+    assert len(batched) == 2
+    for s, b in zip(singles, batched):
+        np.testing.assert_array_equal(s, b)
+
+
+def test_batched_generation_sampled_runs(tiny_gen):
+    outs = tiny_gen.generate_tokens_batch(
+        ["[S1] a", "[S1] b", "[S1] c"], max_tokens=40, temperature=1.0, seed=5
+    )
+    assert len(outs) == 3
+    for o in outs:
+        assert o.shape[1] == 9
+        assert o.min() >= 0 and o.max() <= 1023
+
+
+def test_batched_empty_list(tiny_gen):
+    assert tiny_gen.generate_tokens_batch([]) == []
