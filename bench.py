@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 DAC_FRAME_RATE = 44100.0 / 512.0  # ≈ 86.13 codec frames / second of audio
@@ -29,7 +30,7 @@ BASELINE_RTF_BF16 = 2.1  # reference README.md:220-225 (RTX 4090, torch.compile)
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
-    parser.add_argument("--steps", type=int, default=512, help="timed decode steps")
+    parser.add_argument("--steps", type=int, default=768, help="timed decode steps")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--temperature", type=float, default=1.3)
@@ -42,6 +43,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    # persistent compile cache: first-compile of the fused generate program
+    # costs minutes on remote-attached TPUs; later runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
