@@ -44,11 +44,20 @@ from .config import DiaConfig
 from .models.dia import (
     KVCache,
     decode_step,
+    decode_step_scan,
     decoder_prefill,
     encoder_forward,
     new_self_cache,
     precompute_cross_cache,
 )
+
+
+def _decode_step_fn():
+    """unroll (default): per-layer in-place cache writes, measured fastest;
+    scan: one layer trace (L× faster compiles) — env-gated for A/B."""
+    import os
+
+    return decode_step_scan if os.environ.get("DIA_DECODE_IMPL") == "scan" else decode_step
 from .ops.delay import revert_audio_delay_np
 from .ops.masks import create_attn_mask
 from .ops.sampling import apply_constraints, cfg_combine
@@ -196,7 +205,7 @@ def _decode_loop_core(
         prev = jax.lax.dynamic_slice(s.tokens, (t - 1, 0), (1, d.channels))  # [1, C]
         tgt = jnp.broadcast_to(prev[None], (CFG_BATCH, 1, d.channels))
         position = jnp.full((CFG_BATCH, 1), t, dtype=jnp.int32)
-        logits, new_cache = decode_step(
+        logits, new_cache = _decode_step_fn()(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
         )  # [2, 1, C, V]
@@ -407,7 +416,7 @@ def generate_fused_batch(
         )  # [N, 1, C]
         tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
         position = jnp.full((2 * N, 1), t, dtype=jnp.int32)
-        logits, new_cache = decode_step(
+        logits, new_cache = _decode_step_fn()(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
         )  # [2N, 1, C, V]

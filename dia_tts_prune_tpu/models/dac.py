@@ -23,7 +23,7 @@ conv/transposed-conv math against ``torch.nn.functional`` ground truth.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Mapping
 

@@ -24,6 +24,7 @@ per-token graph; lets XLA update each cache buffer in place inside the
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -431,6 +432,103 @@ def decode_step(
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
     return logits, KVCache(k=new_k, v=new_v)
+
+
+def decode_step_scan(
+    params: Params,
+    config: DiaConfig,
+    tgt_Bx1xC: jax.Array,  # [B, 1, C]
+    position: jax.Array,  # [B, 1]
+    write_slot: jax.Array,  # scalar int32
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_attn_mask: jax.Array | None,
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, KVCache]:
+    """``decode_step`` with layers scanned instead of unrolled.
+
+    One layer trace instead of L → ~L× faster compiles and a much smaller
+    executable.  The KV cache stays OUT of the scan carry (a scan output of
+    updated caches would copy the whole cache every step): each layer attends
+    the cache *prefix* (slots < write_slot) with an unnormalized accumulator,
+    adds the current token's contribution analytically, and emits only its
+    one-step K/V; a single stacked ``dynamic_update_slice`` commits all
+    layers' K/V after the scan.
+    """
+    m = config.model
+    dec = m.decoder
+    eps = m.normalization_layer_epsilon
+    B = tgt_Bx1xC.shape[0]
+    Tmax = self_cache.k.shape[2]
+    H = dec.gqa_head_dim
+    scale = 1.0 / math.sqrt(H)
+
+    x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
+
+    slot_ids = jnp.arange(Tmax, dtype=jnp.int32)
+    prefix_mask = (slot_ids < write_slot)[None, None, None, :]  # [1,1,1,Tmax]
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+
+    def layer_fn(x, xs):
+        lp, kc, vc, ck, cv = xs  # per-layer cache slices [B, T, N, H]
+        h = rms_norm(x, lp["pre_sa_norm"]["scale"], eps)
+        q, k_new, v_new = attention_qkv(
+            lp["self_attention"], h, h, position, position,
+            m.rope_min_timescale, m.rope_max_timescale,
+        )  # q [B,1,Nq,H], k/v [B,1,Nkv,H]
+
+        # prefix attention (slots < write_slot), unnormalized + running max
+        Nq = q.shape[2]
+        Nkv = k_new.shape[2]
+        G = Nq // Nkv
+        qg = q.reshape(B, 1, Nkv, G, H)
+        s_pre = jnp.einsum(
+            "btngh,bsnh->bngts", qg, kc.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [B,Nkv,G,1,T]
+        s_pre = jnp.where(prefix_mask[:, :, None, :, :], s_pre, neg)
+        # current-token score: q·k_new per kv-head group → [B,Nkv,G,1,1]
+        s_cur = jnp.einsum(
+            "btngh,btnh->bngt", qg, k_new.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )[..., None] * scale
+        m_all = jnp.maximum(jnp.max(s_pre, axis=-1, keepdims=True), s_cur)
+        p_pre = jnp.exp(s_pre - m_all)  # masked slots underflow to 0
+        p_cur = jnp.exp(s_cur - m_all)  # [B,Nkv,G,1,1]
+        denom = jnp.sum(p_pre, axis=-1, keepdims=True) + p_cur
+        acc = jnp.einsum(
+            "bngts,bsnh->btngh", p_pre.astype(compute_dtype), vc.astype(compute_dtype),
+        ) + p_cur[..., 0].transpose(0, 3, 1, 2)[..., None] * v_new[:, :, :, None, :]
+        sa = (acc / denom[..., 0].transpose(0, 3, 1, 2)[..., None]).astype(compute_dtype)
+        sa = sa.reshape(B, 1, Nq, H)
+        x = x + attention_out(lp["self_attention"], sa)
+
+        h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
+        cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
+        cq = rope(cq, position, m.rope_min_timescale, m.rope_max_timescale)
+        ca = sdpa(cq, ck, cv, cross_attn_mask)
+        x = x + attention_out(lp["cross_attention"], ca)
+
+        h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
+        x = x + mlp_block(lp["mlp"], h)
+        return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
+
+    x, (ks, vs) = jax.lax.scan(
+        layer_fn, x,
+        (params["decoder"]["layers"], self_cache.k, self_cache.v,
+         cross_cache.k, cross_cache.v),
+    )
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            self_cache.k, ks, (0, 0, write_slot.astype(jnp.int32), 0, 0)
+        ),
+        v=jax.lax.dynamic_update_slice(
+            self_cache.v, vs, (0, 0, write_slot.astype(jnp.int32), 0, 0)
+        ),
+    )
+    x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
+    logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
+    return logits, new_cache
 
 
 def param_count(params: Params) -> int:

@@ -221,3 +221,41 @@ def test_int8_matmul_xla_close_to_dequant():
     # activation quantization adds ~1% relative error
     rel = np.abs(a - b) / (np.abs(b).max() + 1e-9)
     assert rel.max() < 0.03, rel.max()
+
+
+def test_decode_step_scan_matches_unrolled():
+    """Scan-over-layers decode step (prefix attention + current-token
+    correction, deferred cache write) must match the unrolled decode_step."""
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.models.dia import (
+        decode_step,
+        decode_step_scan,
+        init_params,
+        new_self_cache,
+        precompute_cross_cache,
+        encoder_forward,
+    )
+    from dia_tts_prune_tpu.state import cross_attention_mask, new_encoder_state
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 200, (2, cfg.data.text_length)).astype(np.int32)
+    ids[0, :] = 0
+    es = new_encoder_state(cfg, jnp.asarray(ids))
+    enc_out = encoder_forward(params, cfg, jnp.asarray(ids), es.positions, es.attn_mask)
+    ccache = precompute_cross_cache(params, cfg, enc_out, es.positions)
+    cmask = cross_attention_mask(es.padding_mask)
+
+    cache_a = new_self_cache(cfg, 2)
+    cache_b = new_self_cache(cfg, 2)
+    for t in range(1, 7):
+        tok = jnp.asarray(rng.integers(0, 1024, (1, 9)).astype(np.int32))
+        tgt = jnp.broadcast_to(tok[None], (2, 1, 9))
+        pos = jnp.full((2, 1), t, jnp.int32)
+        la, cache_a = decode_step(params, cfg, tgt, pos, jnp.asarray(t - 1, jnp.int32),
+                                  cache_a, ccache, cmask)
+        lb, cache_b = decode_step_scan(params, cfg, tgt, pos, jnp.asarray(t - 1, jnp.int32),
+                                       cache_b, ccache, cmask)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache_a.k), np.asarray(cache_b.k), rtol=1e-5, atol=1e-6)
