@@ -23,7 +23,7 @@ def main(argv=None) -> int:
                         help="Local model dir (config.json + weights) or HF repo id.")
     parser.add_argument("--output-dir", type=str, required=True)
     parser.add_argument("--prune-mode", type=str, required=True,
-                        choices=["unstructured", "structured", "block", "shrink-ffn"])
+                        choices=["unstructured", "structured", "block", "shrink-ffn", "shrink-heads"])
     parser.add_argument("--prune-amount", type=float, required=True,
                         help="Fraction of weights/structures to prune (0, 1).")
     parser.add_argument("--prune-dim", type=int, default=0,
@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     elif args.prune_mode == "block":
         masks = block_masks(params, args.prune_amount, block=tuple(args.block_size))
         pruned = apply_masks(params, masks)
+    elif args.prune_mode == "shrink-heads":
+        from .prune import shrink_heads
+
+        pruned, config = shrink_heads(params, config, keep_fraction=1.0 - args.prune_amount)
     else:  # shrink-ffn: physically smaller shapes (beyond the reference)
         pruned, config = shrink_ffn(params, config, keep_fraction=1.0 - args.prune_amount)
 

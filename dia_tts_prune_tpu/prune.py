@@ -239,6 +239,78 @@ def block_masks(
 # ---------------------------------------------------------------------------
 
 
+def shrink_heads(params: Params, config: DiaConfig, keep_fraction: float) -> tuple[Params, DiaConfig]:
+    """Physically remove the lowest-importance attention heads.
+
+    Head removal must stay shape-consistent across q/k/v/o (SURVEY.md §7 hard
+    part 5) and respect GQA structure: in the decoder's self-attention a KV
+    head and its whole query group are removed together (so the group size is
+    preserved); encoder and cross attention are MHA and prune per head.  Head
+    importance = L2 norm of the head's q/k/v/o kernel slices, per layer
+    stack summed (uniform head count across layers keeps the scanned layout).
+    Kept counts are floored at 1 KV head / 1 head.
+
+    Returns (new_params, new_config) — recompiles to genuinely smaller
+    attention matmuls, beyond the reference's zero-masking.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1]: {keep_fraction}")
+
+    def head_importance(attn: Params, group: int) -> jax.Array:
+        # kernels: q [L, D, Nq, H], k/v [L, Dk, Nkv, H], o [L, Nq, H, D]
+        q = attn["q_proj"]["kernel"].astype(jnp.float32)
+        k = attn["k_proj"]["kernel"].astype(jnp.float32)
+        v = attn["v_proj"]["kernel"].astype(jnp.float32)
+        o = attn["o_proj"]["kernel"].astype(jnp.float32)
+        L, _, Nq, H = q.shape
+        Nkv = k.shape[2]
+        qg = jnp.sum(q**2, axis=(0, 1, 3)).reshape(Nkv, group).sum(axis=1)
+        og = jnp.sum(o**2, axis=(0, 2, 3)).reshape(Nkv, group).sum(axis=1)
+        kg = jnp.sum(k**2, axis=(0, 1, 3))
+        vg = jnp.sum(v**2, axis=(0, 1, 3))
+        return qg + og + kg + vg  # [Nkv]
+
+    def shrink_attn(attn: Params, group: int, keep_kv: int) -> Params:
+        imp = head_importance(attn, group)
+        order = jnp.sort(jnp.argsort(-imp)[:keep_kv])  # kept kv-head ids, ascending
+        q_ids = (order[:, None] * group + jnp.arange(group)[None, :]).reshape(-1)
+        return {
+            "q_proj": {"kernel": jnp.take(attn["q_proj"]["kernel"], q_ids, axis=2)},
+            "k_proj": {"kernel": jnp.take(attn["k_proj"]["kernel"], order, axis=2)},
+            "v_proj": {"kernel": jnp.take(attn["v_proj"]["kernel"], order, axis=2)},
+            "o_proj": {"kernel": jnp.take(attn["o_proj"]["kernel"], q_ids, axis=1)},
+        }
+
+    m = config.model
+    enc, dec = m.encoder, m.decoder
+
+    enc_keep = max(1, int(round(keep_fraction * enc.n_head)))
+    dec_group = dec.gqa_query_heads // dec.kv_heads
+    dec_kv_keep = max(1, int(round(keep_fraction * dec.kv_heads)))
+    cross_keep = max(1, int(round(keep_fraction * dec.cross_query_heads)))
+
+    new_params = {k: dict(v) for k, v in params.items()}
+    enc_layers = dict(params["encoder"]["layers"])
+    enc_layers["self_attention"] = shrink_attn(enc_layers["self_attention"], 1, enc_keep)
+    dec_layers = dict(params["decoder"]["layers"])
+    dec_layers["self_attention"] = shrink_attn(dec_layers["self_attention"], dec_group, dec_kv_keep)
+    dec_layers["cross_attention"] = shrink_attn(dec_layers["cross_attention"], 1, cross_keep)
+    new_params["encoder"] = dict(params["encoder"], layers=enc_layers)
+    new_params["decoder"] = dict(params["decoder"], layers=dec_layers)
+
+    new_config = config.model_copy(update={
+        "model": m.model_copy(update={
+            "encoder": enc.model_copy(update={"n_head": enc_keep}),
+            "decoder": dec.model_copy(update={
+                "gqa_query_heads": dec_kv_keep * dec_group,
+                "kv_heads": dec_kv_keep,
+                "cross_query_heads": cross_keep,
+            }),
+        })
+    })
+    return new_params, new_config
+
+
 def shrink_ffn(params: Params, config: DiaConfig, keep_fraction: float) -> tuple[Params, DiaConfig]:
     """Physically remove the lowest-importance FFN hidden channels.
 

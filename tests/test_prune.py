@@ -133,3 +133,55 @@ def test_shrink_ffn(tiny_params):
     out = gen.generate_tokens("[S1] shrunk", max_tokens=32, temperature=0.0)
     assert out.shape[0] > 0
     assert param_count(new_params) <= param_count(params)
+
+
+def test_shrink_heads(tiny_params):
+    from dia_tts_prune_tpu.prune import shrink_heads
+
+    cfg, params = tiny_params
+    new_params, new_cfg = shrink_heads(params, cfg, keep_fraction=0.5)
+    # tiny config: enc 4 heads → 2; dec 2 kv (group 2) → 1 kv / 2 q; cross 4 → 2
+    assert new_cfg.model.encoder.n_head == 2
+    assert new_cfg.model.decoder.kv_heads == 1
+    assert new_cfg.model.decoder.gqa_query_heads == 2
+    assert new_cfg.model.decoder.cross_query_heads == 2
+    q = new_params["decoder"]["layers"]["self_attention"]["q_proj"]["kernel"]
+    o = new_params["decoder"]["layers"]["self_attention"]["o_proj"]["kernel"]
+    assert q.shape[2] == 2 and o.shape[1] == 2  # q/o consistent
+
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import param_count
+
+    gen = DiaGenerator(new_params, new_cfg)
+    out = gen.generate_tokens("[S1] fewer heads", max_tokens=32, temperature=0.0)
+    assert out.shape[0] > 0
+    assert param_count(new_params) < param_count(params)
+
+
+def test_shrink_heads_keeps_important(tiny_params):
+    """The kept heads are the highest-importance ones: zeroing a kv group
+    must make it the one removed."""
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.prune import shrink_heads
+
+    cfg, params = tiny_params
+    sa = params["decoder"]["layers"]["self_attention"]
+    # zero kv head 0's kernels (and its query group 0-1)
+    mod = {
+        "q_proj": {"kernel": sa["q_proj"]["kernel"].at[:, :, :2, :].set(0.0)},
+        "k_proj": {"kernel": sa["k_proj"]["kernel"].at[:, :, :1, :].set(0.0)},
+        "v_proj": {"kernel": sa["v_proj"]["kernel"].at[:, :, :1, :].set(0.0)},
+        "o_proj": {"kernel": sa["o_proj"]["kernel"].at[:, :2, :, :].set(0.0)},
+    }
+    p2 = dict(params)
+    p2["decoder"] = dict(params["decoder"])
+    p2["decoder"]["layers"] = dict(params["decoder"]["layers"], self_attention=mod)
+    new_params, _ = shrink_heads(p2, cfg, keep_fraction=0.5)
+    kept_k = new_params["decoder"]["layers"]["self_attention"]["k_proj"]["kernel"]
+    # the surviving kv head must be the nonzero one (head 1)
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(kept_k[:, :, 0, :]), np.asarray(sa["k_proj"]["kernel"][:, :, 1, :])
+    )
