@@ -91,12 +91,8 @@ def test_full_loop_token_parity_greedy(parity_setup, max_tokens):
     assert ours_reverted.shape == ref_reverted.shape, (
         f"length mismatch: ours {ours_reverted.shape} vs ref {ref_reverted.shape}"
     )
-    mismatch = (ours_reverted != ref_reverted).mean()
-    # random weights → near-uniform logits: tiny fp32 library differences can
-    # flip an argmax and the sequences diverge from that point; demand exact
-    # equality of the early prefix and high overall agreement
-    assert (ours_reverted[:5] == ref_reverted[:5]).all()
-    assert mismatch < 0.35, f"token mismatch rate {mismatch:.3f}"
+    # with HIGHEST-precision fp32 contractions the whole loop is token-exact
+    np.testing.assert_array_equal(ours_reverted, ref_reverted)
 
 
 def test_loop_parity_first_steps_exact(parity_setup):

@@ -61,7 +61,7 @@ def test_encoder_parity(ref_setup):
 
     es = new_encoder_state(jcfg, jnp.asarray(ids))
     ours = encoder_forward(params, jcfg, jnp.asarray(ids), es.positions, es.attn_mask)
-    np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(), rtol=1e-4, atol=1e-6)
 
 
 def test_decoder_teacher_forced_parity(ref_setup):
@@ -98,11 +98,10 @@ def test_decoder_teacher_forced_parity(ref_setup):
         params, jcfg, jnp.asarray(tgt), enc_out, es.positions, dec_positions,
         None, cross_attention_mask(es.padding_mask),
     )
-    np.testing.assert_allclose(np.asarray(ours), ref_logits, rtol=5e-3, atol=5e-3)
-    # argmax agreement: random weights give near-uniform logits, so fp32
-    # library noise (XLA vs MKL pow/sin in RoPE) flips a small fraction of
-    # near-ties; real checkpoints have peaked logits where this vanishes.
-    assert (np.asarray(ours).argmax(-1) == ref_logits.argmax(-1)).mean() > 0.98
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, rtol=1e-4, atol=1e-5)
+    # argmax agreement: with HIGHEST-precision fp32 contractions the logits
+    # are near-bit-exact; allow a vanishing tie-flip allowance
+    assert (np.asarray(ours).argmax(-1) == ref_logits.argmax(-1)).mean() > 0.9999
 
 
 def test_decode_step_parity(ref_setup):
@@ -156,8 +155,8 @@ def test_decode_step_parity(ref_setup):
         ours.append(np.asarray(logits[:, 0]))
     ours = np.stack(ours)
 
-    np.testing.assert_allclose(ours, ref_logits, rtol=5e-3, atol=5e-3)
-    assert (ours.argmax(-1) == ref_logits.argmax(-1)).mean() > 0.98
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=1e-5)
+    assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()
 
 
 def test_checkpoint_round_trip(ref_setup):
