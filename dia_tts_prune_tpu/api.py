@@ -238,6 +238,52 @@ class Dia:
         wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
         return np.asarray(wav[0], dtype=np.float32)
 
+    def generate_stream(
+        self,
+        text: str,
+        segment_steps: int = 128,
+        overlap_frames: int = 32,
+        lookahead_frames: int = 32,
+        **kwargs,
+    ):
+        """Stream audio chunks while generation continues.
+
+        Codec decoding runs incrementally with ``overlap_frames`` of left
+        context (conv warm-up, trimmed from the output) and holds back
+        ``lookahead_frames`` of right context, so every emitted sample has the
+        decoder's full receptive field on both sides (≈20 frames for the
+        44.1 kHz architecture) — the concatenated stream is sample-exact
+        against the offline decode.  A serving capability the reference lacks
+        (its generate is monolithic).
+        """
+        self._require_dac()
+        hop = self.dac_config.hop_length
+        codes_all = np.zeros((0, self.dac_config.n_codebooks), np.int32)
+        emitted_f = 0  # frames already emitted as audio
+
+        def decode_span(start: int, end: int) -> np.ndarray:
+            # decode with left warm-up context AND right lookahead context,
+            # then trim both — every emitted sample keeps its full receptive
+            # field and matches the offline decode exactly
+            ctx_start = max(0, start - overlap_frames)
+            ctx_end = min(codes_all.shape[0], end + lookahead_frames)
+            ctx = codes_all[ctx_start:ctx_end]
+            wav = np.asarray(
+                decode_codes(self.dac_params, self.dac_config, jnp.asarray(ctx)[None])[0]
+            )
+            return wav[(start - ctx_start) * hop : (end - ctx_start) * hop]
+
+        for new_codes in self.generator.generate_tokens_stream(
+            text, segment_steps=segment_steps, **kwargs
+        ):
+            codes_all = np.concatenate([codes_all, new_codes], axis=0)
+            emit_until = codes_all.shape[0] - lookahead_frames
+            if emit_until > emitted_f:
+                yield decode_span(emitted_f, emit_until).astype(np.float32)
+                emitted_f = emit_until
+        if codes_all.shape[0] > emitted_f:
+            yield decode_span(emitted_f, codes_all.shape[0]).astype(np.float32)
+
     def generate_batch(
         self,
         texts: list[str],

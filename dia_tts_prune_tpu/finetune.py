@@ -138,10 +138,16 @@ def main(argv=None) -> int:
 
     print(f"Fine-tuning: {len(dataset)} items, {num_training_steps} steps, "
           f"mode={args.adapter_mode}")
+    from .utils.prefetch import prefetch
+
     t0 = time.time()
     window: list[float] = []
     for epoch in range(args.epochs):
-        for batch in dataset.batches(args.batch_size, shuffle=True, seed=args.seed + epoch):
+        # prepare batches (WAV read + DAC encode + delay transforms) on a
+        # background thread while the accelerator runs the train step
+        for batch in prefetch(
+            dataset.batches(args.batch_size, shuffle=True, seed=args.seed + epoch)
+        ):
             metrics = trainer.step(batch)
             window.append(metrics["loss"])
             step = metrics["step"]

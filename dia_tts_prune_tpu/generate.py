@@ -50,14 +50,6 @@ from .models.dia import (
     new_self_cache,
     precompute_cross_cache,
 )
-
-
-def _decode_step_fn():
-    """unroll (default): per-layer in-place cache writes, measured fastest;
-    scan: one layer trace (L× faster compiles) — env-gated for A/B."""
-    import os
-
-    return decode_step_scan if os.environ.get("DIA_DECODE_IMPL") == "scan" else decode_step
 from .ops.delay import revert_audio_delay_np
 from .ops.masks import create_attn_mask
 from .ops.sampling import apply_constraints, cfg_combine
@@ -70,6 +62,14 @@ from .state import (
 from .tokenizer import build_effective_text, encode_cfg_batch
 
 CFG_BATCH = 2  # [uncond; cond] pair (reference: dia/model.py:360-362)
+
+
+def _decode_step_fn():
+    """unroll (default): per-layer in-place cache writes, measured fastest;
+    scan: one layer trace (L× faster compiles) — env-gated for A/B."""
+    import os
+
+    return decode_step_scan if os.environ.get("DIA_DECODE_IMPL") == "scan" else decode_step
 
 
 @dataclass(frozen=True)
@@ -175,30 +175,15 @@ def decode_loop(
     )
 
 
-def _decode_loop_core(
-    params,
-    config: DiaConfig,
-    tokens_buf: jax.Array,
-    self_cache: KVCache,
-    cross_cache: KVCache,
-    cross_mask: jax.Array,
-    key: jax.Array,
-    prefill_step: jax.Array,
-    max_tokens: jax.Array,
-    cfg_scale: jax.Array,
-    temperature: jax.Array,
-    top_p: jax.Array,
-    greedy: bool,
-    cfg_filter_top_k: int,
-    compute_dtype,
-):
+def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
+                    cfg_scale, temperature, top_p, greedy, cfg_filter_top_k,
+                    compute_dtype):
+    """The per-step loop body — single source of truth for the reference's
+    per-token semantics (parity-tested in test_loop_parity.py)."""
     d = config.data
     delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
     max_delay = d.max_delay
     eos, pad = d.audio_eos_value, d.audio_pad_value
-
-    def cond(s: DecodeLoopState):
-        return (s.dec_step < max_tokens - 1) & (~s.stop)
 
     def body(s: DecodeLoopState) -> DecodeLoopState:
         t = s.dec_step + 1
@@ -250,6 +235,33 @@ def _decode_loop_core(
             bos_countdown=bos_countdown, stop=stop,
         )
 
+    return body
+
+
+def _decode_loop_core(
+    params,
+    config: DiaConfig,
+    tokens_buf: jax.Array,
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    key: jax.Array,
+    prefill_step: jax.Array,
+    max_tokens: jax.Array,
+    cfg_scale: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype,
+):
+    def cond(s: DecodeLoopState):
+        return (s.dec_step < max_tokens - 1) & (~s.stop)
+
+    body = _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
+                           cfg_scale, temperature, top_p, greedy, cfg_filter_top_k,
+                           compute_dtype)
+
     init = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,
@@ -257,7 +269,7 @@ def _decode_loop_core(
         dec_step=prefill_step.astype(jnp.int32) - 1,
         eos_detected=jnp.asarray(False),
         eos_countdown=jnp.asarray(-1, jnp.int32),
-        bos_countdown=jnp.asarray(max_delay, jnp.int32),
+        bos_countdown=jnp.asarray(config.data.max_delay, jnp.int32),
         stop=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -477,6 +489,77 @@ def generate_fused_batch(
     return final.tokens, final.final_step
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "compute_dtype_name"),
+)
+def prepare_stream(
+    params,
+    config: DiaConfig,
+    enc_input: jax.Array,  # [2, T_text]
+    tokens_buf: jax.Array,  # [T_max, C]
+    seed: jax.Array,  # scalar int32
+    compute_dtype_name: str,
+):
+    """Conditioning + initial loop state for segment-wise (streaming) decoding."""
+    compute_dtype = _dtype_of(compute_dtype_name)
+    enc_state = new_encoder_state(config, enc_input)
+    enc_out = encoder_forward(
+        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    )
+    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
+    cross_mask = cross_attention_mask(enc_state.padding_mask)
+    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype)
+    state = DecodeLoopState(
+        tokens=tokens_buf,
+        cache=self_cache,
+        key=jax.random.PRNGKey(seed),
+        dec_step=jnp.asarray(0, jnp.int32),
+        eos_detected=jnp.asarray(False),
+        eos_countdown=jnp.asarray(-1, jnp.int32),
+        bos_countdown=jnp.asarray(config.data.max_delay, jnp.int32),
+        stop=jnp.asarray(False),
+    )
+    return state, cross_cache, cross_mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "greedy", "cfg_filter_top_k", "compute_dtype_name"),
+    donate_argnames=("state",),
+)
+def decode_segment(
+    params,
+    config: DiaConfig,
+    state: DecodeLoopState,
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    segment_end: jax.Array,  # scalar int32: run while dec_step < min(end, max-1)
+    max_tokens: jax.Array,
+    cfg_scale: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    greedy: bool,
+    cfg_filter_top_k: int,
+    compute_dtype_name: str,
+) -> DecodeLoopState:
+    """Resume the decode loop for one segment (streaming generation).
+
+    Identical per-step semantics to the full loop; the carry is a pytree the
+    host can hold between segments, so audio can be emitted incrementally
+    while generation continues — a serving capability the reference lacks.
+    """
+    compute_dtype = _dtype_of(compute_dtype_name)
+
+    def cond(s: DecodeLoopState):
+        return (s.dec_step < jnp.minimum(segment_end, max_tokens - 1)) & (~s.stop)
+
+    body = _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
+                           cfg_scale, temperature, top_p, greedy, cfg_filter_top_k,
+                           compute_dtype)
+    return jax.lax.while_loop(cond, body, state)
+
+
 class DiaGenerator:
     """User-facing generation orchestrator (reference API: dia/model.py:631-846).
 
@@ -555,6 +638,70 @@ class DiaGenerator:
         invalid = (reverted < 0) | (reverted > 1023)
         reverted = np.where(invalid, 0, reverted)
         return reverted.astype(np.int32)
+
+    def generate_tokens_stream(
+        self,
+        text: str,
+        segment_steps: int = 128,
+        max_tokens: int | None = None,
+        cfg_scale: float = 3.0,
+        temperature: float = 1.3,
+        top_p: float = 0.95,
+        cfg_filter_top_k: int = 35,
+        seed: int | None = None,
+    ):
+        """Stream undelayed codec frames as generation progresses.
+
+        Runs the decode loop in resumable segments of ``segment_steps`` and
+        yields the newly *finalized* undelayed frames after each segment (a
+        frame is final once all raw rows it gathers from exist, i.e. trailing
+        ``max_delay`` rows stay pending).  The concatenation of all yields is
+        bit-identical to ``generate_tokens`` for the same arguments.  No-prompt
+        path only (streaming + voice-clone prefill is a follow-up).
+        """
+        cfg = self.config
+        d = cfg.data
+        max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
+
+        effective_text = build_effective_text(text)
+        enc_input = encode_cfg_batch(effective_text, d.text_length, d.text_pad_value)
+        delayed, prefill_step = prepare_audio_prompt(cfg, None)
+        tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
+        tokens_buf[: delayed.shape[0]] = delayed
+
+        state, cross_cache, cross_mask = prepare_stream(
+            self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
+            jnp.asarray(0 if seed is None else seed, jnp.int32), self.compute_dtype,
+        )
+        greedy = temperature == 0.0
+        f_cfg = jnp.asarray(cfg_scale, jnp.float32)
+        f_temp = jnp.asarray(temperature, jnp.float32)
+        f_topp = jnp.asarray(top_p, jnp.float32)
+        mt = jnp.asarray(max_tokens, jnp.int32)
+
+        emitted = 0
+        seg_end = 0
+        while True:
+            seg_end = min(seg_end + segment_steps, max_tokens - 1)
+            state = decode_segment(
+                self.params, cfg, state, cross_cache, cross_mask,
+                jnp.asarray(seg_end, jnp.int32), mt, f_cfg, f_temp, f_topp,
+                greedy=greedy, cfg_filter_top_k=cfg_filter_top_k,
+                compute_dtype_name=self.compute_dtype,
+            )
+            dec_step = int(state.dec_step)
+            stop = bool(state.stop)
+            raw = np.asarray(state.tokens)[prefill_step : dec_step + 1]
+            n_final = max(0, raw.shape[0] - d.max_delay)
+            if n_final > emitted:
+                reverted = revert_audio_delay_np(
+                    raw[None], d.audio_pad_value, tuple(d.delay_pattern), raw.shape[0]
+                )[0][:n_final]
+                reverted = np.where((reverted < 0) | (reverted > 1023), 0, reverted)
+                yield reverted[emitted:].astype(np.int32)
+                emitted = n_final
+            if stop or dec_step >= max_tokens - 1:
+                return
 
     def generate_tokens_batch(
         self,

@@ -135,3 +135,17 @@ def test_orbax_checkpoint_round_trip(tiny_dia, tmp_path):
     restored = restore_checkpoint(tmp_path / "orbax" / "step_3", template)
     for a, b in zip(jax.tree.leaves(tiny_dia.params), jax.tree.leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_audio_stream_matches_offline(tiny_dia):
+    """Streamed audio (with overlap + lookahead) must match the offline
+    decode sample-for-sample up to conv boundary tolerance."""
+    text = "[S1] audio streaming"
+    offline = tiny_dia.generate(text, max_tokens=96, temperature=0.0)
+    chunks = list(tiny_dia.generate_stream(text, segment_steps=24, max_tokens=96,
+                                           temperature=0.0, overlap_frames=32,
+                                           lookahead_frames=32))
+    assert len(chunks) > 1
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)

@@ -114,3 +114,23 @@ def test_batched_generation_sampled_runs(tiny_gen):
 
 def test_batched_empty_list(tiny_gen):
     assert tiny_gen.generate_tokens_batch([]) == []
+
+
+def test_token_stream_matches_offline(tiny_gen):
+    """Concatenated streamed frames == generate_tokens, bit for bit."""
+    text = "[S1] streaming check"
+    offline = tiny_gen.generate_tokens(text, max_tokens=80, temperature=0.0)
+    chunks = list(tiny_gen.generate_tokens_stream(text, segment_steps=16,
+                                                  max_tokens=80, temperature=0.0))
+    assert len(chunks) > 1
+    streamed = np.concatenate(chunks, axis=0)
+    np.testing.assert_array_equal(streamed, offline)
+
+
+def test_token_stream_seeded_sampling(tiny_gen):
+    text = "[S1] streamed sampling"
+    offline = tiny_gen.generate_tokens(text, max_tokens=64, temperature=1.1, seed=9)
+    streamed = np.concatenate(
+        list(tiny_gen.generate_tokens_stream(text, segment_steps=20, max_tokens=64,
+                                             temperature=1.1, seed=9)), axis=0)
+    np.testing.assert_array_equal(streamed, offline)

@@ -163,3 +163,25 @@ def test_trainer_restore_resumes(setup, tmp_path):
     assert t2.restore(tmp_path) == 2
     got_next = t2.step(batch)["loss"]
     np.testing.assert_allclose(got_next, expected_next, rtol=1e-5)
+
+
+def test_prefetch_iterator():
+    import time
+
+    from dia_tts_prune_tpu.utils.prefetch import prefetch
+
+    def slow_gen():
+        for i in range(5):
+            time.sleep(0.01)
+            yield i
+
+    assert list(prefetch(slow_gen())) == [0, 1, 2, 3, 4]
+
+    def failing_gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(failing_gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        list(it)
