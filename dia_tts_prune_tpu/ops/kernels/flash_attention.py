@@ -31,6 +31,7 @@ NEG = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr, acc_scr,
             *, bq, bk, causal):
+    b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -54,8 +55,13 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr, acc_scr,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (1.0 / math.sqrt(H))  # [BQ, BK]
 
-        seg_q = sq_ref[0]  # [BQ] int32
-        seg_k = sk_ref[0]  # [BK]
+        # segment ids come in as full [B, T] arrays (TPU block tiling rejects
+        # (1, bq) blocks); slice the current tiles here
+        seg_q = sq_ref[b, pl.ds(iq * bq, bq)]  # [BQ] int32
+        k_blk = ik
+        if causal:
+            k_blk = jnp.minimum(ik, (iq * bq + bq - 1) // bk)
+        seg_k = sk_ref[b, pl.ds(k_blk * bk, bk)]  # [BK]
         mask = seg_q[:, None] == seg_k[None, :]
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -126,8 +132,8 @@ def flash_attention(
             pl.BlockSpec((1, 1, bq, H), lambda b, n, iq, ik: (b, n, iq, 0)),
             pl.BlockSpec((1, 1, bk, H), k_index),
             pl.BlockSpec((1, 1, bk, H), k_index),
-            pl.BlockSpec((1, bq), lambda b, n, iq, ik: (b, iq)),
-            pl.BlockSpec((1, bk), lambda b, n, iq, ik: (b, k_index(b, n, iq, ik)[2])),
+            pl.BlockSpec(q_segment_ids.shape, lambda b, n, iq, ik: (0, 0)),
+            pl.BlockSpec(kv_segment_ids.shape, lambda b, n, iq, ik: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, H), lambda b, n, iq, ik: (b, n, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Nq, Tq, H), q.dtype),
