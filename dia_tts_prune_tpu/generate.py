@@ -135,7 +135,7 @@ def run_prefill(
     prefill_mask = create_attn_mask(valid, valid, is_causal=True)
     _, new_cache = decoder_prefill(
         params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
-        self_cache, compute_dtype,
+        self_cache, compute_dtype, dec_segment_ids=valid.astype(jnp.int32),
     )
     return new_cache
 
@@ -354,6 +354,8 @@ def generate_fused(
         _, self_cache = decoder_prefill(
             params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
             self_cache, compute_dtype,
+            dec_segment_ids=valid.astype(jnp.int32),
+            enc_segment_ids=enc_state.padding_mask.astype(jnp.int32),
         )
 
     return _decode_loop_core(

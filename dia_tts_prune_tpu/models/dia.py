@@ -36,6 +36,7 @@ from ..ops.modules import (
     attention_out,
     attention_qkv,
     dense_general,
+    full_attention,
     mlp_block,
     rms_norm,
     rope,
@@ -164,20 +165,26 @@ def encoder_forward(
     attn_mask: jax.Array,  # bool [B, 1, T, T]
     compute_dtype=jnp.float32,
     remat: bool = False,
+    use_flash: bool = True,
 ) -> jax.Array:
     """Encoder stack (reference: dia/layers.py:445-462). Returns [B, T, D].
 
     ``remat=True`` rematerializes each layer in the backward pass (training
-    memory / FLOPs trade — SURVEY.md §7 hard part 6)."""
+    memory / FLOPs trade — SURVEY.md §7 hard part 6).  ``use_flash=False``
+    forces the masked-XLA path — required under autodiff (the Pallas flash
+    kernel has no backward; a flash VJP kernel is future work)."""
     m = config.model
     x = params["encoder"]["embedding"]["embedding"][x_ids].astype(compute_dtype)
     eps = m.normalization_layer_epsilon
+    # padding mask doubles as the segment ids the flash kernel consumes
+    seg = (x_ids != config.data.text_pad_value).astype(jnp.int32) if use_flash else None
 
     def layer_fn(x, lp):
         h = rms_norm(x, lp["pre_sa_norm"]["scale"], eps)
         sa = attention(
             lp["self_attention"], h, h, positions, positions, attn_mask,
             m.rope_min_timescale, m.rope_max_timescale, is_causal=False,
+            q_segment_ids=seg, kv_segment_ids=seg,
         )
         x = x + sa
         h = rms_norm(x, lp["post_sa_norm"]["scale"], eps)
@@ -252,6 +259,8 @@ def _decoder_layer_full(
     enc_positions_unused: jax.Array,
     cross_mask: jax.Array | None,
     is_causal: bool,
+    dec_segment_ids: jax.Array | None = None,
+    enc_segment_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block on a full sequence. Returns (x, self_k, self_v)."""
     eps = m.normalization_layer_epsilon
@@ -260,13 +269,14 @@ def _decoder_layer_full(
         lp["self_attention"], h, h, dec_positions, dec_positions,
         m.rope_min_timescale, m.rope_max_timescale,
     )
-    sa = sdpa(q, k, v, self_mask, is_causal=is_causal)
+    sa = full_attention(q, k, v, self_mask, is_causal, dec_segment_ids, dec_segment_ids)
     x = x + attention_out(lp["self_attention"], sa)
 
     h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
     cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
     cq = rope(cq, dec_positions, m.rope_min_timescale, m.rope_max_timescale)
-    ca = sdpa(cq, cross_k, cross_v, cross_mask, is_causal=False)
+    ones = None if dec_segment_ids is None else jnp.ones_like(dec_segment_ids)
+    ca = full_attention(cq, cross_k, cross_v, cross_mask, False, ones, enc_segment_ids)
     x = x + attention_out(lp["cross_attention"], ca)
 
     h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
@@ -286,22 +296,30 @@ def decoder_forward(
     compute_dtype=jnp.float32,
     return_kv: bool = False,
     remat: bool = False,
+    enc_padding_mask: jax.Array | None = None,
+    use_flash: bool = True,
 ):
     """Full-sequence decoder pass — teacher-forced training and prompt prefill
     (reference: dia/layers.py:722-766). Causal self-attention throughout.
 
     Returns logits [B, T, C, V] (float32), and stacked per-layer self-attn K/V
     ([L, B, T, Nkv, H]) when ``return_kv`` for cache prefill.
+    ``enc_padding_mask`` enables the flash-attention path (segment ids).
     """
     m = config.model
     cross = precompute_cross_cache(params, config, enc_out, enc_positions)
     x = _embed_channels(params, tgt_BxTxC, compute_dtype)
+    dec_seg = jnp.ones(tgt_BxTxC.shape[:2], jnp.int32) if use_flash else None
+    enc_seg = (
+        enc_padding_mask.astype(jnp.int32)
+        if (use_flash and enc_padding_mask is not None) else None
+    )
 
     def layer_fn(x, xs):
         lp, ck, cv = xs
         x, k, v = _decoder_layer_full(
             lp, m, x, dec_positions, self_attn_mask, ck, cv, enc_positions,
-            cross_attn_mask, True,
+            cross_attn_mask, True, dec_segment_ids=dec_seg, enc_segment_ids=enc_seg,
         )
         return x, (k, v) if return_kv else None
 
@@ -326,6 +344,8 @@ def decoder_prefill(
     cross_attn_mask: jax.Array | None,
     self_cache: KVCache,
     compute_dtype=jnp.float32,
+    dec_segment_ids: jax.Array | None = None,
+    enc_segment_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Prefill the self-attention cache from prompt tokens.
 
@@ -342,7 +362,8 @@ def decoder_prefill(
         lp, ck, cv = xs
         x, k, v = _decoder_layer_full(
             lp, m, x, dec_positions, prefill_mask, ck, cv, None,
-            cross_attn_mask, False,
+            cross_attn_mask, False, dec_segment_ids=dec_segment_ids,
+            enc_segment_ids=enc_segment_ids,
         )
         return x, (k, v)
 

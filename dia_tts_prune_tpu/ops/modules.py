@@ -229,6 +229,52 @@ def attention_out(params: Params, attn: jax.Array) -> jax.Array:
     return dense_general(attn, params["o_proj"]["kernel"], axis=(-2, -1))
 
 
+def _use_flash() -> bool:
+    import os
+
+    if os.environ.get("DIA_FLASH_INTERPRET") == "1":  # test hook (any backend)
+        return True
+    return (
+        os.environ.get("DIA_FLASH_ATTN") == "1"
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
+def full_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None,
+    is_causal: bool,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Full-sequence attention dispatcher.
+
+    When segment ids are available (they carry the same information as the
+    reference's segment-style mask — see ops/masks.py) and DIA_FLASH_ATTN=1
+    on a TPU backend, route through the blockwise flash kernel: the [Tq, Tk]
+    score matrix never materializes, which is the memory (and often speed)
+    win for 3072-length training/prefill.  Otherwise, masked XLA attention.
+    """
+    H = q.shape[-1]
+    if (
+        _use_flash()
+        and q_segment_ids is not None
+        and kv_segment_ids is not None
+        and q.shape[1] >= 128
+        and H % 128 == 0
+    ):
+        import os
+
+        from .kernels.flash_attention import flash_attention
+
+        interpret = os.environ.get("DIA_FLASH_INTERPRET") == "1"
+        return flash_attention(q, k, v, q_segment_ids, kv_segment_ids,
+                               causal=is_causal, interpret=interpret)
+    return sdpa(q, k, v, mask, is_causal=is_causal)
+
+
 def attention(
     params: Params,
     x_q: jax.Array,
@@ -239,8 +285,10 @@ def attention(
     rope_min: float,
     rope_max: float,
     is_causal: bool = False,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Full-sequence attention (no cache) — encoder self-attn / training decoder."""
     q, k, v = attention_qkv(params, x_q, x_kv, q_positions, kv_positions, rope_min, rope_max)
-    out = sdpa(q, k, v, mask, is_causal=is_causal)
+    out = full_attention(q, k, v, mask, is_causal, q_segment_ids, kv_segment_ids)
     return attention_out(params, out)

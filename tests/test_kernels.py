@@ -259,3 +259,40 @@ def test_decode_step_scan_matches_unrolled():
                                        cache_b, ccache, cmask)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(cache_a.k), np.asarray(cache_b.k), rtol=1e-5, atol=1e-6)
+
+
+def test_flash_integration_inference_paths(monkeypatch):
+    """The flash-routed inference paths (encoder forward + voice-clone
+    generation with its decoder prefill) must match the masked-XLA path.
+    Training deliberately keeps the XLA path (the flash kernel has no VJP)."""
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import encoder_forward, init_params
+    from dia_tts_prune_tpu.state import new_encoder_state
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 200, (2, cfg.data.text_length)).astype(np.int32)
+    ids[0, :] = 0
+    ids[1, 70:] = 0
+    es = new_encoder_state(cfg, jnp.asarray(ids))
+    base = np.asarray(
+        encoder_forward(params, cfg, jnp.asarray(ids), es.positions, es.attn_mask)
+    )
+    monkeypatch.setenv("DIA_FLASH_INTERPRET", "1")
+    flash = np.asarray(
+        encoder_forward(params, cfg, jnp.asarray(ids), es.positions, es.attn_mask)
+    )
+    np.testing.assert_allclose(flash, base, rtol=1e-4, atol=1e-5)
+
+    # prompted generation exercises the prefill path end-to-end
+    monkeypatch.delenv("DIA_FLASH_INTERPRET")
+    gen = DiaGenerator(params, cfg)
+    prompt = rng.integers(0, 1024, (40, 9)).astype(np.int32)
+    base_tok = gen.generate_tokens("[S2] x", max_tokens=80, temperature=0.0,
+                                   audio_prompt_codes=prompt, audio_prompt_text="[S1] p")
+    monkeypatch.setenv("DIA_FLASH_INTERPRET", "1")
+    flash_tok = gen.generate_tokens("[S2] x", max_tokens=80, temperature=0.0,
+                                    audio_prompt_codes=prompt, audio_prompt_text="[S1] p")
+    np.testing.assert_array_equal(flash_tok, base_tok)
