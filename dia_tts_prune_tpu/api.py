@@ -208,6 +208,8 @@ class Dia:
         audio_prompt_text: str | None = None,
         seed: int | None = None,
         verbose: bool = False,
+        use_torch_compile: bool = False,  # accepted for reference-API compat;
+        # the whole pipeline is always jit-compiled here (dia/model.py:658)
     ) -> np.ndarray | None:
         """Text → waveform (float32 [T_audio]) — reference: dia/model.py:631-846.
 

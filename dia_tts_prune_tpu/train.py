@@ -129,17 +129,15 @@ def compute_loss(
     enc_padding = text_ids != d.text_pad_value
     enc_mask = create_attn_mask(enc_padding, enc_padding, is_causal=False)
     positions = jnp.broadcast_to(jnp.arange(T_text, dtype=jnp.int32)[None], (B, T_text))
-    # use_flash=False: the flash kernel has no VJP — training keeps the
-    # masked-XLA attention (fine under remat; flash backward is future work)
     enc_out = encoder_forward(params, config, text_ids, positions, enc_mask, compute_dtype,
-                              remat=remat, use_flash=False)
+                              remat=remat)
 
     T = batch["decoder_input_ids"].shape[1]
     dec_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     logits = decoder_forward(
         params, config, batch["decoder_input_ids"], enc_out, positions, dec_positions,
         None, cross_attention_mask(enc_padding), compute_dtype, remat=remat,
-        enc_padding_mask=enc_padding, use_flash=False,
+        enc_padding_mask=enc_padding,
     )  # [B, T, C, V] fp32
 
     targets = batch["target_ids"]

@@ -149,3 +149,14 @@ def test_audio_stream_matches_offline(tiny_dia):
     streamed = np.concatenate(chunks)
     assert streamed.shape == offline.shape
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_reference_generate_signature_compat(tiny_dia):
+    """Code written against the reference API (including its
+    use_torch_compile flag) must run unchanged."""
+    wav = tiny_dia.generate(
+        "[S1] compat", max_tokens=40, cfg_scale=3.0, temperature=0.0,
+        top_p=0.95, use_torch_compile=True, cfg_filter_top_k=35,
+        audio_prompt=None, audio_prompt_text=None, seed=42, verbose=False,
+    )
+    assert wav is not None

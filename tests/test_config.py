@@ -76,3 +76,21 @@ def test_reference_config_json_compatible(tmp_path):
     cfg = DiaConfig.load(p)
     assert cfg.model.decoder.kv_heads == 2
     assert cfg.data.audio_length == 3072
+
+
+def test_invalid_configs_rejected():
+    import pydantic
+
+    with pytest.raises(pydantic.ValidationError):
+        DataConfig(text_length=0, audio_length=128)
+    with pytest.raises(pydantic.ValidationError):
+        DataConfig(text_length=128, audio_length=128, channels=0)
+
+
+def test_checkpoint_missing_key_message(tmp_path):
+    """A truncated checkpoint fails with the missing key named."""
+    from dia_tts_prune_tpu.checkpoint import convert_torch_state_dict
+
+    cfg = tiny_test_config()
+    with pytest.raises(KeyError, match="encoder.embedding.weight"):
+        convert_torch_state_dict({}, cfg)

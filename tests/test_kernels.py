@@ -296,3 +296,70 @@ def test_flash_integration_inference_paths(monkeypatch):
     flash_tok = gen.generate_tokens("[S2] x", max_tokens=80, temperature=0.0,
                                     audio_prompt_codes=prompt, audio_prompt_text="[S1] p")
     np.testing.assert_array_equal(flash_tok, base_tok)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_matches_autodiff(causal):
+    """Gradients through flash_attention_trainable (custom VJP, recompute-p
+    backward kernels) must match jax.grad through the masked-XLA reference."""
+    from dia_tts_prune_tpu.ops.kernels.flash_attention import (
+        flash_attention_reference,
+        flash_attention_trainable,
+    )
+
+    rng = np.random.default_rng(10)
+    B, T, Nkv, G, H = 2, 256, 2, 2, 128
+    Nq = Nkv * G
+    q = jnp.asarray(rng.normal(size=(B, T, Nq, H)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, T, Nkv, H)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, T, Nkv, H)).astype(np.float32)) * 0.3
+    seg = np.ones((B, T), np.int32)
+    seg[0, 200:] = 0
+    seg = jnp.asarray(seg)
+    cot = jnp.asarray(rng.normal(size=(B, T, Nq, H)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention_trainable(q, k, v, seg, seg, causal, 128, 128, True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention_reference(q, k, v, seg, seg, causal=causal) * cot)
+
+    f_out = loss_flash(q, k, v)
+    r_out = loss_ref(q, k, v)
+    np.testing.assert_allclose(float(f_out), float(r_out), rtol=1e-4)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=f"{name} mismatch (causal={causal})",
+        )
+
+
+def test_flash_training_loss_and_grads_match(monkeypatch):
+    """Training loss AND gradients through the flash path (interpret) must
+    match the masked-XLA path — the full compute_loss graph."""
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.models.dia import init_params
+    from dia_tts_prune_tpu.train import build_train_batch, compute_loss
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    text = rng.integers(1, 200, (2, cfg.data.text_length)).astype(np.int32)
+    text[:, 60:] = 0
+    codes = [rng.integers(0, 1024, (80, 9)).astype(np.int32) for _ in range(2)]
+    batch = {k: jnp.asarray(v) for k, v in build_train_batch(cfg, text, codes).items()}
+
+    def loss_fn(p):
+        return compute_loss(p, cfg, batch)
+
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(params)
+    monkeypatch.setenv("DIA_FLASH_INTERPRET", "1")
+    flash_loss, flash_grads = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(flash_loss), float(base_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(base_grads), jax.tree.leaves(flash_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-5)

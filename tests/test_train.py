@@ -185,3 +185,9 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_unknown_scheduler_rejected():
+    tc = TrainConfig(lr_scheduler_type="nope")
+    with pytest.raises(ValueError, match="nope"):
+        make_schedule(tc, 10)
