@@ -115,11 +115,16 @@ def main(argv=None):
     rtf = tokens_per_sec / DAC_FRAME_RATE
 
     # time-to-first-audio proxy: a minimal-length generate call (includes
-    # conditioning, compile-cache hit, transfers, and the first audio frames)
-    t1 = time.perf_counter()
-    gen.generate_tokens(text, max_tokens=8 + config.data.max_delay + 2,
-                        temperature=args.temperature, cfg_filter_top_k=args.top_k, seed=2)
-    ttfa = time.perf_counter() - t1
+    # conditioning, compile-cache hit, transfers, and the first audio frames);
+    # only meaningful for the single-stream path (the batch warmup compiled a
+    # different executable)
+    if args.batch > 1:
+        ttfa = None
+    else:
+        t1 = time.perf_counter()
+        gen.generate_tokens(text, max_tokens=8 + config.data.max_delay + 2,
+                            temperature=args.temperature, cfg_filter_top_k=args.top_k, seed=2)
+        ttfa = time.perf_counter() - t1
 
     result = {
         "metric": (
@@ -137,7 +142,7 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "temperature": args.temperature,
-        "ttfa_seconds": round(ttfa, 3),
+        "ttfa_seconds": round(ttfa, 3) if ttfa is not None else None,
         "batch": args.batch,
     }
     print(json.dumps(result))

@@ -354,11 +354,12 @@ def _conv_from_sd(sd, prefix):
         w = np.asarray(sd[f"{prefix}.weight"], dtype=np.float32)
     out = {"weight": jnp.asarray(w)}
     bias_key = f"{prefix}.bias"
-    out["bias"] = (
-        jnp.asarray(np.asarray(sd[bias_key], dtype=np.float32))
-        if bias_key in sd
-        else jnp.zeros((w.shape[0] if w.ndim == 3 else w.shape[-2],), jnp.float32)
-    )
+    if bias_key not in sd:
+        # every conv in the published DAC checkpoints carries a bias; the
+        # output-channel axis differs between Conv1d and ConvTranspose1d so a
+        # zero fallback cannot be shaped reliably from the kernel alone
+        raise KeyError(f"Missing DAC checkpoint key: {bias_key}")
+    out["bias"] = jnp.asarray(np.asarray(sd[bias_key], dtype=np.float32))
     return out
 
 
