@@ -192,6 +192,42 @@ class Dia:
     # Generation
     # ------------------------------------------------------------------
 
+    # codec-decode chunking: emitted samples keep the decoder's receptive
+    # field on both sides, so the result is identical to a whole-array decode
+    # while only 3 fixed shapes ever compile (varied generation lengths would
+    # otherwise each trigger a fresh XLA compile of the full DAC decoder)
+    _DEC_BODY = 256
+    _DEC_OV = 32
+    _DEC_LA = 32
+
+    def _decode_waveform(self, codes_TxC: np.ndarray) -> np.ndarray:
+        hop = self.dac_config.hop_length
+        T = codes_TxC.shape[0]
+        W = self._DEC_OV + self._DEC_BODY + self._DEC_LA
+
+        def dec(span):
+            return np.asarray(
+                decode_codes(self.dac_params, self.dac_config, jnp.asarray(span)[None])[0]
+            )
+
+        if T <= W:  # short outputs: exact single decode (shape varies; rare)
+            return dec(codes_TxC).astype(np.float32)
+
+        out = np.empty(T * hop, np.float32)
+        body, ov, la = self._DEC_BODY, self._DEC_OV, self._DEC_LA
+        # first chunk: emit [0, body) with right lookahead only
+        out[: body * hop] = dec(codes_TxC[: body + la])[: body * hop]
+        s = body
+        while s + body + la <= T:
+            w = dec(codes_TxC[s - ov : s + body + la])
+            out[s * hop : (s + body) * hop] = w[ov * hop : (ov + body) * hop]
+            s += body
+        # tail: end-aligned fixed window (exact right boundary)
+        w = dec(codes_TxC[T - W : T])
+        off = s - (T - W)
+        out[s * hop :] = w[off * hop :]
+        return out
+
     def generate_codes(self, text: str, **kwargs) -> np.ndarray:
         """Text → undelayed codec tokens [T, C] (no codec decode)."""
         return self.generator.generate_tokens(text, **kwargs)
@@ -237,8 +273,7 @@ class Dia:
         if codes.shape[0] == 0:
             return None
         self._require_dac()
-        wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
-        return np.asarray(wav[0], dtype=np.float32)
+        return self._decode_waveform(codes)
 
     def generate_stream(
         self,
@@ -306,11 +341,7 @@ class Dia:
         self._require_dac()
         outs: list[np.ndarray | None] = []
         for codes in codes_list:
-            if codes.shape[0] == 0:
-                outs.append(None)
-                continue
-            wav = decode_codes(self.dac_params, self.dac_config, jnp.asarray(codes)[None])
-            outs.append(np.asarray(wav[0], dtype=np.float32))
+            outs.append(self._decode_waveform(codes) if codes.shape[0] else None)
         return outs
 
     # ------------------------------------------------------------------
@@ -357,8 +388,11 @@ class Dia:
 
         adapter = load_adapter(adapter_path)
         if not fuse:
-            self._adapter = adapter
-            return
+            raise NotImplementedError(
+                "Unfused adapters are not supported: fusion is free at "
+                "inference (W + (alpha/r)·A@B folds into the kernels) and "
+                "unload_adapter() exactly reverses it. Use fuse=True."
+            )
         self.unload_adapter()
         self.params = merge_lora(self.params, adapter)
         self._active_adapter = adapter

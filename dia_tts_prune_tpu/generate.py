@@ -52,7 +52,11 @@ from .models.dia import (
 )
 from .ops.delay import revert_audio_delay_np
 from .ops.masks import create_attn_mask
-from .ops.sampling import apply_constraints, cfg_combine
+from .ops.sampling import (
+    apply_constraints,
+    cfg_combine,
+    sample_next_token_traced as _traced_sample,
+)
 from .state import (
     DecodeLoopState,
     cross_attention_mask,
@@ -62,6 +66,16 @@ from .state import (
 from .tokenizer import build_effective_text, encode_cfg_batch
 
 CFG_BATCH = 2  # [uncond; cond] pair (reference: dia/model.py:360-362)
+
+
+def _resolve_seed(seed: int | None) -> int:
+    """None → a fresh random seed (reference semantics: unseeded runs differ,
+    app.py:163-168); an int is used as-is for reproducibility."""
+    if seed is None:
+        import random
+
+        return random.randint(0, 2**31 - 1)
+    return int(seed)
 
 
 def _decode_step_fn():
@@ -84,60 +98,6 @@ class SamplingParams:
 
 def _dtype_of(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
-
-
-@partial(
-    jax.jit,
-    static_argnames=("config", "compute_dtype_name"),
-)
-def prepare_conditioning(params, config: DiaConfig, enc_input: jax.Array, compute_dtype_name: str = "float32"):
-    """Encoder pass + static cross-attention KV + masks
-    (reference: dia/model.py:355-401)."""
-    compute_dtype = _dtype_of(compute_dtype_name)
-    enc_state = new_encoder_state(config, enc_input)
-    enc_out = encoder_forward(
-        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
-    )
-    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
-    cross_mask = cross_attention_mask(enc_state.padding_mask)
-    return enc_out, cross_cache, cross_mask, enc_state
-
-
-@partial(
-    jax.jit,
-    static_argnames=("config", "prefill_window", "compute_dtype_name"),
-    donate_argnames=("self_cache",),
-)
-def run_prefill(
-    params,
-    config: DiaConfig,
-    tokens_buf: jax.Array,  # [T_max, C]
-    prefill_len: jax.Array,  # scalar int32 = prefill_step - 1 (#tokens to prefill)
-    cross_cache: KVCache,
-    cross_mask: jax.Array,
-    self_cache: KVCache,
-    prefill_window: int,
-    compute_dtype_name: str = "float32",
-) -> KVCache:
-    """Warm the self-attn KV cache on prompt tokens over a static window.
-
-    ``prefill_window`` is a 128-bucketed static bound ≥ prefill_len; rows past
-    ``prefill_len`` produce garbage KV in slots that the decode loop always
-    overwrites before attending (write-before-read by construction).
-    """
-    compute_dtype = _dtype_of(compute_dtype_name)
-    window_tokens = jnp.clip(tokens_buf[:prefill_window], 0)  # -1 template → safe ids
-    tgt = jnp.broadcast_to(window_tokens[None], (CFG_BATCH, *window_tokens.shape))
-    positions = jnp.broadcast_to(
-        jnp.arange(prefill_window, dtype=jnp.int32)[None], (CFG_BATCH, prefill_window)
-    )
-    valid = positions < prefill_len
-    prefill_mask = create_attn_mask(valid, valid, is_causal=True)
-    _, new_cache = decoder_prefill(
-        params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
-        self_cache, compute_dtype, dec_segment_ids=valid.astype(jnp.int32),
-    )
-    return new_cache
 
 
 @partial(
@@ -274,32 +234,6 @@ def _decode_loop_core(
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens, final.dec_step
-
-
-def _traced_sample(key, logits, temperature, top_p, cfg_filter_top_k: int):
-    """Sampler with *traced* temperature/top_p (no recompiles on sweeps);
-    top-k is static (lax.top_k requires static k).
-
-    Hot-loop note: a vocab-wide ``argsort`` costs milliseconds per step on
-    TPU (bitonic sort), dominating the decode step.  When top-k is active
-    (the reference default, k=35), ``lax.top_k`` already returns values
-    sorted descending, so the nucleus (top-p) rule runs on just those k
-    values — exactly equivalent to the reference's sort-based recipe
-    (dia/model.py:44-70) because non-top-k tokens carry zero probability.
-    """
-    from .ops.sampling import NEG, top_p_filter
-
-    logits = logits / temperature
-    if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
-        vals, idx = jax.lax.top_k(logits, cfg_filter_top_k)  # sorted desc [C, K]
-        probs = jax.nn.softmax(vals, axis=-1)  # == softmax of the masked vocab
-        cum = jnp.cumsum(probs, axis=-1)
-        remove = jnp.roll(cum > top_p, 1, axis=-1).at[..., 0].set(False)
-        vals = jnp.where(remove, NEG, vals)
-        choice = jax.random.categorical(key, vals, axis=-1)  # [C]
-        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
-    logits = top_p_filter(logits, top_p)  # rare path: full-vocab nucleus
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 @partial(
@@ -608,7 +542,7 @@ class DiaGenerator:
         if prefill_step > 1:
             window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
         int_args = np.asarray(
-            [prefill_step, max_tokens, 0 if seed is None else seed], np.int32
+            [prefill_step, max_tokens, _resolve_seed(seed)], np.int32
         )
         float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
 
@@ -673,7 +607,7 @@ class DiaGenerator:
 
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
-            jnp.asarray(0 if seed is None else seed, jnp.int32), self.compute_dtype,
+            jnp.asarray(_resolve_seed(seed), jnp.int32), self.compute_dtype,
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)
@@ -742,7 +676,7 @@ class DiaGenerator:
         tokens_buf = np.full((N, d.audio_length, d.channels), -1, dtype=np.int32)
         tokens_buf[:, : delayed.shape[0]] = delayed[None]
 
-        int_args = np.asarray([max_tokens, 0 if seed is None else seed], np.int32)
+        int_args = np.asarray([max_tokens, _resolve_seed(seed)], np.int32)
         float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
         tokens, final_steps = generate_fused_batch(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),

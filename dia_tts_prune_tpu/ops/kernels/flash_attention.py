@@ -92,6 +92,24 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
+def _pad_time(x: jax.Array, seg: jax.Array, block: int, sentinel: int):
+    """Pad the time axis to a block multiple.
+
+    ``pl.ds`` on the full segment arrays clamps out-of-bounds starts, so
+    ragged tail blocks would read wrong segment ids (pad keys masquerading as
+    real).  Padding with a sentinel id that can never match (-1 for queries,
+    -2 for keys) makes every padded position fully masked; padded outputs are
+    sliced away by the callers.
+    """
+    T = x.shape[1]
+    pad = (-T) % block
+    if pad == 0:
+        return x, seg.astype(jnp.int32), T
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    seg = jnp.pad(seg.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=sentinel)
+    return x, seg, T
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,  # [B, Tq, Nq, H]
@@ -105,11 +123,15 @@ def flash_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, Tq, Nq, H] in q.dtype."""
+    Tq0 = q.shape[1]
+    bq = min(block_q, max(q.shape[1], 1))
+    bk = min(block_k, max(k.shape[1], 1))
+    q, q_segment_ids, _ = _pad_time(q, q_segment_ids, bq, sentinel=-1)
+    k, kv_segment_ids, _ = _pad_time(k, kv_segment_ids, bk, sentinel=-2)
+    v = jnp.pad(v, ((0, 0), (0, k.shape[1] - v.shape[1]), (0, 0), (0, 0)))
     B, Tq, Nq, H = q.shape
     Tk, Nkv = k.shape[1], k.shape[2]
     group = Nq // Nkv
-    bq = min(block_q, Tq)
-    bk = min(block_k, Tk)
     n_q = pl.cdiv(Tq, bq)
     n_k = pl.cdiv(Tk, bk)
 
@@ -143,8 +165,8 @@ def flash_attention(
             pltpu.VMEM((bq, H), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, kt, vt, q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32))
-    return out.transpose(0, 2, 1, 3)
+    )(qt, kt, vt, q_segment_ids, kv_segment_ids)
+    return out.transpose(0, 2, 1, 3)[:, :Tq0]
 
 
 # ---------------------------------------------------------------------------
@@ -377,16 +399,18 @@ def flash_attention_trainable(
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, block_q, block_k, interpret):
-    B, Tq, Nq, H = q.shape
-    Tk = k.shape[1]
-    bq = min(block_q, Tq)
-    bk = min(block_k, Tk)
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    out_t, lse = _fwd_with_lse(qt, kt, vt, q_seg.astype(jnp.int32),
-                               kv_seg.astype(jnp.int32), causal, bq, bk, interpret)
-    return out_t.transpose(0, 2, 1, 3), (q, k, v, q_seg, kv_seg, out_t, lse)
+    Tq0, Tk0 = q.shape[1], k.shape[1]
+    bq = min(block_q, max(Tq0, 1))
+    bk = min(block_k, max(Tk0, 1))
+    qp, q_seg_p, _ = _pad_time(q, q_seg, bq, sentinel=-1)
+    kp, kv_seg_p, _ = _pad_time(k, kv_seg, bk, sentinel=-2)
+    vp = jnp.pad(v, ((0, 0), (0, kp.shape[1] - v.shape[1]), (0, 0), (0, 0)))
+    qt = qp.transpose(0, 2, 1, 3)
+    kt = kp.transpose(0, 2, 1, 3)
+    vt = vp.transpose(0, 2, 1, 3)
+    out_t, lse = _fwd_with_lse(qt, kt, vt, q_seg_p, kv_seg_p, causal, bq, bk, interpret)
+    res = (qp, kp, vp, q_seg_p, kv_seg_p, out_t, lse, Tq0, Tk0)
+    return out_t.transpose(0, 2, 1, 3)[:, :Tq0], res
 
 
 def _flash_fwd_vjp(q, k, v, q_seg, kv_seg, causal, block_q, block_k, interpret):
@@ -395,7 +419,7 @@ def _flash_fwd_vjp(q, k, v, q_seg, kv_seg, causal, block_q, block_k, interpret):
 
 
 def _flash_bwd_vjp(causal, block_q, block_k, interpret, res, g):
-    q, k, v, q_seg, kv_seg, out_t, lse = res
+    q, k, v, q_seg, kv_seg, out_t, lse, Tq0, Tk0 = res
     B, Tq, Nq, H = q.shape
     Tk, Nkv = k.shape[1], k.shape[2]
     group = Nq // Nkv
@@ -405,6 +429,9 @@ def _flash_bwd_vjp(causal, block_q, block_k, interpret, res, g):
     n_q = pl.cdiv(Tq, bq)
     n_k = pl.cdiv(Tk, bk)
 
+    # cotangent arrives at the true length; zero-pad to the kernel length
+    # (padded rows have p == 0 everywhere, so they contribute nothing)
+    g = jnp.pad(g, ((0, 0), (0, Tq - g.shape[1]), (0, 0), (0, 0)))
     gt = g.transpose(0, 2, 1, 3)  # [B, Nq, Tq, H]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -460,19 +487,19 @@ def _flash_bwd_vjp(causal, block_q, block_k, interpret, res, g):
         interpret=interpret,
     )(qt, kt, vt, gt, lse, dd, sq, sk)
 
-    dq = dq_t.transpose(0, 2, 1, 3).astype(q.dtype)
+    dq = dq_t.transpose(0, 2, 1, 3).astype(q.dtype)[:, :Tq0]
     dk = (
         dk_per_head.reshape(B, Nkv, group, Tk, H).sum(axis=2)
-        .transpose(0, 2, 1, 3).astype(k.dtype)
+        .transpose(0, 2, 1, 3).astype(k.dtype)[:, :Tk0]
     )
     dv = (
         dv_per_head.reshape(B, Nkv, group, Tk, H).sum(axis=2)
-        .transpose(0, 2, 1, 3).astype(v.dtype)
+        .transpose(0, 2, 1, 3).astype(v.dtype)[:, :Tk0]
     )
     import numpy as _np
 
-    zseg_q = _np.zeros(q_seg.shape, dtype=jax.dtypes.float0)
-    zseg_k = _np.zeros(kv_seg.shape, dtype=jax.dtypes.float0)
+    zseg_q = _np.zeros((q_seg.shape[0], Tq0), dtype=jax.dtypes.float0)
+    zseg_k = _np.zeros((kv_seg.shape[0], Tk0), dtype=jax.dtypes.float0)
     return dq, dk, dv, zseg_q, zseg_k
 
 

@@ -65,6 +65,28 @@ def top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(remove, NEG, logits)
 
 
+def sample_next_token_traced(key, logits, temperature, top_p, cfg_filter_top_k: int):
+    """Traced-temperature/top_p sampler used inside the decode loop (no
+    recompiles on parameter sweeps; top-k static — lax.top_k requires it).
+
+    Hot-loop note: a vocab-wide ``argsort`` costs milliseconds per step on TPU
+    (bitonic sort).  With top-k active (reference default, k=35) ``lax.top_k``
+    already returns values sorted descending, so the nucleus rule runs on just
+    those k values — exactly equivalent to the reference's sort-based recipe
+    (dia/model.py:44-70) because excluded tokens carry zero probability."""
+    logits = logits / temperature
+    if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
+        vals, idx = jax.lax.top_k(logits, cfg_filter_top_k)  # sorted desc [..., K]
+        probs = jax.nn.softmax(vals, axis=-1)  # == softmax of the masked vocab
+        cum = jnp.cumsum(probs, axis=-1)
+        remove = jnp.roll(cum > top_p, 1, axis=-1).at[..., 0].set(False)
+        vals = jnp.where(remove, NEG, vals)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+    logits = top_p_filter(logits, top_p)  # rare path: full-vocab nucleus
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("temperature", "top_p", "cfg_filter_top_k"))
 def sample_next_token(
     key: jax.Array,
@@ -77,19 +99,4 @@ def sample_next_token(
     (reference: dia/model.py:32-82).  Returns int32 [C]."""
     if temperature == 0.0:
         return jnp.argmax(logits_CxV, axis=-1).astype(jnp.int32)
-    logits = logits_CxV / temperature
-    if cfg_filter_top_k is not None and cfg_filter_top_k > 0:
-        # lax.top_k returns values sorted descending: run the nucleus rule on
-        # just the k survivors (vocab-wide argsort is milliseconds on TPU and
-        # the excluded tokens carry zero probability — exact equivalence).
-        vals, idx = jax.lax.top_k(logits, cfg_filter_top_k)
-        if top_p < 1.0:
-            probs = jax.nn.softmax(vals, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            remove = jnp.roll(cum > top_p, 1, axis=-1).at[..., 0].set(False)
-            vals = jnp.where(remove, NEG, vals)
-        choice = jax.random.categorical(key, vals, axis=-1)
-        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
-    if top_p < 1.0:
-        logits = top_p_filter(logits, top_p)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return sample_next_token_traced(key, logits_CxV, temperature, top_p, cfg_filter_top_k)

@@ -161,8 +161,9 @@ def make_schedule(tc: TrainConfig, num_training_steps: int) -> optax.Schedule:
     elif tc.lr_scheduler_type == "cosine":
         main = optax.cosine_decay_schedule(base, steps)
     elif tc.lr_scheduler_type == "step":
-        boundaries = {steps // 3: 0.1, 2 * steps // 3: 0.1}
-        main = optax.piecewise_constant_schedule(base, boundaries)
+        b1 = max(1, steps // 3)
+        b2 = max(b1 + 1, 2 * steps // 3)  # keep two distinct staged decays
+        main = optax.piecewise_constant_schedule(base, {b1: 0.1, b2: 0.1})
     elif tc.lr_scheduler_type == "constant":
         main = optax.constant_schedule(base)
     else:
@@ -208,12 +209,15 @@ def train_step(
         lambda p: compute_loss(p, config, batch, dtype, remat=remat)
     )(params)
     grad_norm = optax.global_norm(grads)
-    # NaN-loss skip (reference: finetune.py:529-532) — zero the update instead
-    # of a host-side branch so the step stays device-resident.
-    ok = jnp.isfinite(loss)
-    grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # NaN-loss skip (reference: finetune.py:529-532, which `continue`s without
+    # stepping): keep params, optimizer moments AND schedule counters
+    # untouched — selected in traced code so the step stays device-resident.
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    params = jax.tree.map(lambda new, old: jnp.where(ok, new, old), new_params, params)
+    opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                             new_opt_state, opt_state)
     return params, opt_state, loss, grad_norm
 
 
@@ -246,10 +250,13 @@ def lora_train_step(
 
     loss, grads = jax.value_and_grad(loss_of)(adapter_weights)
     grad_norm = optax.global_norm(grads)
-    ok = jnp.isfinite(loss)
-    grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
-    updates, opt_state = optimizer.update(grads, opt_state, adapter_weights)
-    adapter_weights = optax.apply_updates(adapter_weights, updates)
+    updates, new_opt_state = optimizer.update(grads, opt_state, adapter_weights)
+    new_weights = optax.apply_updates(adapter_weights, updates)
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    adapter_weights = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                                   new_weights, adapter_weights)
+    opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                             new_opt_state, opt_state)
     return adapter_weights, opt_state, loss, grad_norm
 
 

@@ -160,3 +160,22 @@ def test_reference_generate_signature_compat(tiny_dia):
         audio_prompt=None, audio_prompt_text=None, seed=42, verbose=False,
     )
     assert wav is not None
+
+
+def test_chunked_decode_matches_whole_array(tiny_dia):
+    """_decode_waveform's fixed-shape chunking must equal the whole-array
+    codec decode exactly (receptive-field-safe overlap/lookahead)."""
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.models.dac import decode_codes
+
+    rng = np.random.default_rng(5)
+    # tiny DAC hop 8, chunk window W=320 → use T > W and T ragged
+    for T in (333, 512, 650):
+        codes = rng.integers(0, 1024, (T, 9)).astype(np.int32)
+        whole = np.asarray(
+            decode_codes(tiny_dia.dac_params, tiny_dia.dac_config, jnp.asarray(codes)[None])[0]
+        )
+        chunked = tiny_dia._decode_waveform(codes)
+        assert chunked.shape == whole.shape
+        np.testing.assert_allclose(chunked, whole, atol=2e-5)

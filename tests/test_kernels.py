@@ -363,3 +363,39 @@ def test_flash_training_loss_and_grads_match(monkeypatch):
     np.testing.assert_allclose(float(flash_loss), float(base_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(base_grads), jax.tree.leaves(flash_grads)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_ragged_lengths(causal):
+    """T not divisible by the block size must still match the reference
+    (regression: pl.ds clamping made tail blocks read wrong segment ids)."""
+    from dia_tts_prune_tpu.ops.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_reference,
+        flash_attention_trainable,
+    )
+
+    rng = np.random.default_rng(11)
+    B, T, Nkv, G, H = 2, 320, 2, 2, 128  # 320 % 256 != 0
+    Nq = Nkv * G
+    q = jnp.asarray(rng.normal(size=(B, T, Nq, H)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, T, Nkv, H)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, T, Nkv, H)).astype(np.float32)) * 0.3
+    seg = np.ones((B, T), np.int32)
+    seg[1, 250:] = 0
+    seg = jnp.asarray(seg)
+    out = flash_attention(q, k, v, seg, seg, causal=causal,
+                          block_q=256, block_k=256, interpret=True)
+    ref = flash_attention_reference(q, k, v, seg, seg, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # gradients through the padded path
+    cot = jnp.asarray(rng.normal(size=(B, T, Nq, H)).astype(np.float32))
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention_trainable(q, k, v, seg, seg, causal, 256, 256, True) * cot
+    ), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention_reference(q, k, v, seg, seg, causal=causal) * cot
+    ), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
