@@ -57,11 +57,11 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr, acc_scr,
 
         # segment ids come in as full [B, T] arrays (TPU block tiling rejects
         # (1, bq) blocks); slice the current tiles here
-        seg_q = sq_ref[b, pl.ds(iq * bq, bq)]  # [BQ] int32
+        seg_q = sq_ref[b, pl.ds(pl.multiple_of(iq * bq, 128), bq)]  # [BQ] int32
         k_blk = ik
         if causal:
             k_blk = jnp.minimum(ik, (iq * bq + bq - 1) // bk)
-        seg_k = sk_ref[b, pl.ds(k_blk * bk, bk)]  # [BK]
+        seg_k = sk_ref[b, pl.ds(pl.multiple_of(k_blk * bk, 128), bk)]  # [BK]
         mask = seg_q[:, None] == seg_k[None, :]
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -90,6 +90,13 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr, acc_scr,
         # zero output for fully-masked rows (torch SDPA parity on the CFG
         # unconditional branch)
         o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
+
+
+def _round_block(block: int, T: int) -> int:
+    """Block sizes must be lane-aligned: Mosaic requires dynamic-slice starts
+    provably divisible by 128, so blocks are 128-multiples (time axes are
+    padded up to a block multiple)."""
+    return -(-min(block, max(T, 1)) // 128) * 128
 
 
 def _pad_time(x: jax.Array, seg: jax.Array, block: int, sentinel: int):
@@ -124,8 +131,8 @@ def flash_attention(
 ) -> jax.Array:
     """Returns [B, Tq, Nq, H] in q.dtype."""
     Tq0 = q.shape[1]
-    bq = min(block_q, max(q.shape[1], 1))
-    bk = min(block_k, max(k.shape[1], 1))
+    bq = _round_block(block_q, q.shape[1])
+    bk = _round_block(block_k, k.shape[1])
     q, q_segment_ids, _ = _pad_time(q, q_segment_ids, bq, sentinel=-1)
     k, kv_segment_ids, _ = _pad_time(k, kv_segment_ids, bk, sentinel=-2)
     v = jnp.pad(v, ((0, 0), (0, k.shape[1] - v.shape[1]), (0, 0), (0, 0)))
@@ -201,9 +208,9 @@ def _fwd_kernel_lse(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (1.0 / math.sqrt(H))
-        seg_q = sq_ref[b, pl.ds(iq * bq, bq)]
+        seg_q = sq_ref[b, pl.ds(pl.multiple_of(iq * bq, 128), bq)]
         k_blk = jnp.minimum(ik, (iq * bq + bq - 1) // bk) if causal else ik
-        seg_k = sk_ref[b, pl.ds(k_blk * bk, bk)]
+        seg_k = sk_ref[b, pl.ds(pl.multiple_of(k_blk * bk, 128), bk)]
         mask = seg_q[:, None] == seg_k[None, :]
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -231,7 +238,7 @@ def _fwd_kernel_lse(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref,
         m_val = m_scr[:, :1]
         m_val = jnp.where(m_val <= NEG * 0.5, 0.0, m_val)
         # lse written into the [B, Nq, Tq] buffer (full-block output per b)
-        lse_ref[0, n, pl.ds(iq * bq, bq)] = (m_val + jnp.log(l_safe))[:, 0]
+        lse_ref[0, n, pl.ds(pl.multiple_of(iq * bq, 128), bq)] = (m_val + jnp.log(l_safe))[:, 0]
 
 
 def _bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, sq_ref, sk_ref,
@@ -257,10 +264,10 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, sq_ref, sk_ref,
         k = k_ref[0, 0].astype(jnp.float32)  # [bk, H]
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)  # [bq, H]
-        lse = lse_ref[b, n, pl.ds(q_start, bq)]  # [bq]
-        dd = dd_ref[b, n, pl.ds(q_start, bq)]  # [bq]
-        seg_q = sq_ref[b, pl.ds(q_start, bq)]
-        seg_k = sk_ref[b, pl.ds(k_start, bk)]
+        lse = lse_ref[b, n, pl.ds(pl.multiple_of(q_start, 128), bq)]  # [bq]
+        dd = dd_ref[b, n, pl.ds(pl.multiple_of(q_start, 128), bq)]  # [bq]
+        seg_q = sq_ref[b, pl.ds(pl.multiple_of(q_start, 128), bq)]
+        seg_k = sk_ref[b, pl.ds(pl.multiple_of(k_start, 128), bk)]
         mask = seg_q[:, None] == seg_k[None, :]
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -309,11 +316,11 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, sq_ref, sk_ref,
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[b, n, pl.ds(q_start, bq)]
-        dd = dd_ref[b, n, pl.ds(q_start, bq)]
-        seg_q = sq_ref[b, pl.ds(q_start, bq)]
+        lse = lse_ref[b, n, pl.ds(pl.multiple_of(q_start, 128), bq)]
+        dd = dd_ref[b, n, pl.ds(pl.multiple_of(q_start, 128), bq)]
+        seg_q = sq_ref[b, pl.ds(pl.multiple_of(q_start, 128), bq)]
         k_blk = jnp.minimum(ik, (iq * bq + bq - 1) // bk) if causal else ik
-        seg_k = sk_ref[b, pl.ds(k_blk * bk, bk)]
+        seg_k = sk_ref[b, pl.ds(pl.multiple_of(k_blk * bk, 128), bk)]
         mask = seg_q[:, None] == seg_k[None, :]
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -400,8 +407,8 @@ def flash_attention_trainable(
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, block_q, block_k, interpret):
     Tq0, Tk0 = q.shape[1], k.shape[1]
-    bq = min(block_q, max(Tq0, 1))
-    bk = min(block_k, max(Tk0, 1))
+    bq = _round_block(block_q, Tq0)
+    bk = _round_block(block_k, Tk0)
     qp, q_seg_p, _ = _pad_time(q, q_seg, bq, sentinel=-1)
     kp, kv_seg_p, _ = _pad_time(k, kv_seg, bk, sentinel=-2)
     vp = jnp.pad(v, ((0, 0), (0, kp.shape[1] - v.shape[1]), (0, 0), (0, 0)))
