@@ -100,41 +100,6 @@ def _dtype_of(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "config",
-        "greedy",
-        "cfg_filter_top_k",
-        "compute_dtype_name",
-    ),
-    donate_argnames=("tokens_buf", "self_cache"),
-)
-def decode_loop(
-    params,
-    config: DiaConfig,
-    tokens_buf: jax.Array,  # int32 [T_max, C] with prefill template written
-    self_cache: KVCache,
-    cross_cache: KVCache,
-    cross_mask: jax.Array,
-    key: jax.Array,
-    prefill_step: jax.Array,  # scalar int32
-    max_tokens: jax.Array,  # scalar int32
-    cfg_scale: jax.Array,  # scalar f32
-    temperature: jax.Array,  # scalar f32
-    top_p: jax.Array,  # scalar f32
-    greedy: bool,
-    cfg_filter_top_k: int,
-    compute_dtype_name: str = "float32",
-):
-    """The hot loop as a standalone jitted entry. Returns (tokens_buf, final_dec_step)."""
-    return _decode_loop_core(
-        params, config, tokens_buf, self_cache, cross_cache, cross_mask, key,
-        prefill_step, max_tokens, cfg_scale, temperature, top_p,
-        greedy, cfg_filter_top_k, _dtype_of(compute_dtype_name),
-    )
-
-
 def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
                     cfg_scale, temperature, top_p, greedy, cfg_filter_top_k,
                     compute_dtype):

@@ -80,3 +80,22 @@ def test_revert_delay_matches_reference_smaller_T():
     ref = au.revert_audio_delay(torch.from_numpy(x), 1025, precomp, T_logical).numpy()
     ours = np.asarray(revert_audio_delay(jnp.asarray(x), 1025, DELAY, T_logical))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_delay_revert_property_fuzz():
+    """Random channel counts / delay patterns / lengths: revert∘apply restores
+    every position with full context, and the jnp/np revert variants agree."""
+    from dia_tts_prune_tpu.ops.delay import revert_audio_delay_np
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        C = int(rng.integers(1, 12))
+        T = int(rng.integers(20, 100))
+        delays = tuple(int(d) for d in rng.integers(0, min(T - 1, 18), C))
+        x = rng.integers(0, 1024, (2, T, C)).astype(np.int32)
+        delayed = apply_audio_delay(jnp.asarray(x), 1025, 1026, delays)
+        rev_j = np.asarray(revert_audio_delay(delayed, 1025, delays, T))
+        rev_n = revert_audio_delay_np(np.asarray(delayed), 1025, delays, T)
+        np.testing.assert_array_equal(rev_j, rev_n)
+        for c, d in enumerate(delays):
+            np.testing.assert_array_equal(rev_j[:, : T - d, c], x[:, : T - d, c])
