@@ -144,6 +144,10 @@ def main(argv=None):
         "temperature": args.temperature,
         "ttfa_seconds": round(ttfa, 3) if ttfa is not None else None,
         "batch": args.batch,
+        # random init — the published 1.6B weights are not reachable in this
+        # environment, so EOS never fires naturally and the run measures the
+        # worst-case (full-length) decode; see tools/validate_real_checkpoint.py
+        "weights": "random",
     }
     print(json.dumps(result))
 

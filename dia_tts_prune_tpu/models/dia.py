@@ -186,9 +186,9 @@ def encoder_forward(
             m.rope_min_timescale, m.rope_max_timescale, is_causal=False,
             q_segment_ids=seg, kv_segment_ids=seg,
         )
-        x = x + sa
+        x = x + sa.astype(x.dtype)
         h = rms_norm(x, lp["post_sa_norm"]["scale"], eps)
-        x = x + mlp_block(lp["mlp"], h)
+        x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
         return x, None
 
     if remat:
@@ -270,17 +270,17 @@ def _decoder_layer_full(
         m.rope_min_timescale, m.rope_max_timescale,
     )
     sa = full_attention(q, k, v, self_mask, is_causal, dec_segment_ids, dec_segment_ids)
-    x = x + attention_out(lp["self_attention"], sa)
+    x = x + attention_out(lp["self_attention"], sa).astype(x.dtype)
 
     h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
     cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
     cq = rope(cq, dec_positions, m.rope_min_timescale, m.rope_max_timescale)
     ones = None if dec_segment_ids is None else jnp.ones_like(dec_segment_ids)
     ca = full_attention(cq, cross_k, cross_v, cross_mask, False, ones, enc_segment_ids)
-    x = x + attention_out(lp["cross_attention"], ca)
+    x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
 
     h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
-    x = x + mlp_block(lp["mlp"], h)
+    x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
     return x, k, v
 
 
@@ -522,16 +522,16 @@ def decode_step_scan(
         ) + p_cur[..., 0].transpose(0, 3, 1, 2)[..., None] * v_new[:, :, :, None, :]
         sa = (acc / denom[..., 0].transpose(0, 3, 1, 2)[..., None]).astype(compute_dtype)
         sa = sa.reshape(B, 1, Nq, H)
-        x = x + attention_out(lp["self_attention"], sa)
+        x = x + attention_out(lp["self_attention"], sa).astype(x.dtype)
 
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
         cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
         cq = rope(cq, position, m.rope_min_timescale, m.rope_max_timescale)
         ca = sdpa(cq, ck, cv, cross_attn_mask)
-        x = x + attention_out(lp["cross_attention"], ca)
+        x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
-        x = x + mlp_block(lp["mlp"], h)
+        x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
         return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
 
     x, (ks, vs) = jax.lax.scan(

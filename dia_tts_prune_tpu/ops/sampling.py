@@ -50,19 +50,24 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
 
 def top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
     """Nucleus filtering with the reference's shift-by-one keep rule
-    (reference: dia/model.py:55-70): sort probs descending, drop tokens whose
-    *preceding* cumulative mass already exceeds top_p, always keep the top-1.
+    (reference: dia/model.py:55-70): drop a token iff the total probability
+    mass of tokens ranked strictly above it already exceeds top_p; the top-1
+    is always kept (its mass-above is 0).
+
+    Sort-free: a vocab-wide ``argsort`` is a bitonic sort — milliseconds per
+    step on TPU — so the mass-above-each-token is computed as one [V, V]
+    comparison matvec that rides the MXU instead.  Identical to the reference
+    recipe except on exact float-equal probability ties, where the reference's
+    outcome depends on (unstable CUDA) sort order anyway; here all tied tokens
+    at the boundary are kept.
     """
-    probs = jax.nn.softmax(logits, axis=-1)
-    sorted_idx = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, sorted_idx, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    remove_sorted = cum > top_p
-    remove_sorted = jnp.roll(remove_sorted, 1, axis=-1)
-    remove_sorted = remove_sorted.at[..., 0].set(False)
-    remove = jnp.zeros_like(remove_sorted)
-    remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1, inplace=False)
-    return jnp.where(remove, NEG, logits)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # gt[..., t, j] = 1 where p_j > p_t; mass_above[t] = sum_j gt * p_j
+    gt = (probs[..., :, None] < probs[..., None, :]).astype(jnp.float32)
+    mass_above = jnp.einsum(
+        "...tj,...j->...t", gt, probs, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.where(mass_above > top_p, NEG, logits)
 
 
 def sample_next_token_traced(key, logits, temperature, top_p, cfg_filter_top_k: int):

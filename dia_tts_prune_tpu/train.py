@@ -204,7 +204,7 @@ def train_step(
     remat: bool = True,
 ):
     """One full-fine-tune update. Returns (params, opt_state, loss, grad_norm)."""
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype_name]
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[compute_dtype_name]
     loss, grads = jax.value_and_grad(
         lambda p: compute_loss(p, config, batch, dtype, remat=remat)
     )(params)
@@ -239,7 +239,7 @@ def lora_train_step(
 ):
     """One LoRA update: only A/B receive gradients (reference peft wrap:
     finetune.py:374-396); the merge happens inside the loss."""
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype_name]
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[compute_dtype_name]
     r, alpha = adapter_static
 
     def loss_of(aw):

@@ -107,6 +107,16 @@ def test_lora_train_step(setup):
     )
 
 
+def test_float16_train_step(setup):
+    """compute_dtype='float16' is accepted end-to-end (the CLI/API already
+    accept it — api.py:57); regression for the missing dtype-map entry."""
+    cfg, params, batch = setup
+    tc = TrainConfig(learning_rate=1e-3, compute_dtype="float16", remat=False)
+    trainer = Trainer(params, cfg, tc, num_training_steps=10)
+    out = trainer.step(batch)
+    assert np.isfinite(out["loss"])
+
+
 def test_remat_matches_no_remat(setup):
     cfg, params, batch = setup
     b = {k: jnp.asarray(v) for k, v in batch.items()}
