@@ -81,26 +81,30 @@ def main(argv=None):
 
     texts = [text] * args.batch if args.batch > 1 else None
 
-    # Warmup: compiles prepare + decode loop (max_tokens is a traced scalar, so
-    # the timed run reuses this executable).
+    # Warmup: compiles prepare + decode loop.  max_tokens is a traced scalar
+    # but the self-cache length bucket is static — pin cache_len to the timed
+    # run's bucket so warmup compiles the same executable.
+    max_tokens = steps + config.data.max_delay + 2
     warmup_tokens = 32 + config.data.max_delay + 2
     if texts:
         gen.generate_tokens_batch(texts, max_tokens=warmup_tokens,
                                   temperature=args.temperature,
-                                  cfg_filter_top_k=args.top_k, seed=1)
+                                  cfg_filter_top_k=args.top_k, seed=1,
+                                  cache_len=max_tokens)
     else:
         gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=args.temperature,
-                            cfg_filter_top_k=args.top_k, seed=1)
+                            cfg_filter_top_k=args.top_k, seed=1,
+                            cache_len=max_tokens)
 
     # Timed run. Random weights never sample EOS in channel 0 spontaneously
     # (vocab 1028), so the loop runs to the near-max trigger — a stable,
     # worst-case-length measurement.
-    max_tokens = steps + config.data.max_delay + 2
     t0 = time.perf_counter()
     if texts:
         outs = gen.generate_tokens_batch(texts, max_tokens=max_tokens,
                                          temperature=args.temperature,
-                                         cfg_filter_top_k=args.top_k, seed=args.seed)
+                                         cfg_filter_top_k=args.top_k, seed=args.seed,
+                                         cache_len=max_tokens)
         out = outs[0]
         gen_rows = sum(o.shape[0] for o in outs) + args.batch * config.data.max_delay
     else:
@@ -123,7 +127,8 @@ def main(argv=None):
     else:
         t1 = time.perf_counter()
         gen.generate_tokens(text, max_tokens=8 + config.data.max_delay + 2,
-                            temperature=args.temperature, cfg_filter_top_k=args.top_k, seed=2)
+                            temperature=args.temperature, cfg_filter_top_k=args.top_k,
+                            seed=2, cache_len=max_tokens)
         ttfa = time.perf_counter() - t1
 
     result = {

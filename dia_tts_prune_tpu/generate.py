@@ -201,10 +201,36 @@ def _decode_loop_core(
     return final.tokens, final.dec_step
 
 
+def _conditioning(params, config, enc_input, compute_dtype, cross_window):
+    """Encoder pass + cross-attention KV, optionally trimmed to a static
+    ``cross_window`` text bucket.
+
+    The decode loop re-reads the whole cross cache every step; at the
+    published config that is [L, 2, 1024, 16, 128] ≈ 300 MB of mostly-padding
+    keys per step on a bandwidth-bound path.  Real prompts are a few hundred
+    bytes, so slicing keys/mask to a 128-multiple bucket of the actual text
+    length cuts that read ~4-8×.  Exact parity: sliced-off keys are padding,
+    already masked out of every query row (and the CFG unconditional row —
+    all padding — stays fully masked, keeping its exact-zero outputs)."""
+    enc_state = new_encoder_state(config, enc_input)
+    enc_out = encoder_forward(
+        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    )
+    enc_positions = enc_state.positions
+    padding_mask = enc_state.padding_mask
+    if cross_window is not None and cross_window < enc_out.shape[1]:
+        enc_out = enc_out[:, :cross_window]
+        enc_positions = enc_positions[:, :cross_window]
+        padding_mask = padding_mask[:, :cross_window]
+    cross_cache = precompute_cross_cache(params, config, enc_out, enc_positions)
+    cross_mask = cross_attention_mask(padding_mask)
+    return cross_cache, cross_mask, padding_mask
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "prefill_window", "greedy", "cfg_filter_top_k",
-                     "compute_dtype_name"),
+    static_argnames=("config", "prefill_window", "cross_window", "cache_len",
+                     "greedy", "cfg_filter_top_k", "compute_dtype_name"),
     donate_argnames=("tokens_buf",),
 )
 def generate_fused(
@@ -218,6 +244,8 @@ def generate_fused(
     greedy: bool,
     cfg_filter_top_k: int,
     compute_dtype_name: str,
+    cross_window: int | None = None,
+    cache_len: int | None = None,
 ):
     """Whole generation — conditioning, prompt prefill, decode loop — as ONE
     compiled dispatch.
@@ -227,6 +255,12 @@ def generate_fused(
     round trip (measured ~2s of fixed overhead per generate call before this
     fusion).  Scalars arrive packed in two tiny arrays; the KV cache is
     allocated inside the program (never transferred).
+
+    ``cross_window`` / ``cache_len`` are static byte-traffic buckets (the
+    decode step re-reads both caches every token): text keys trimmed to a
+    128-bucket of the real prompt, self-attention cache allocated at a bucket
+    of ``max_tokens`` instead of the full ``audio_length``.  One executable
+    per bucket, same tokens — exact parity with the unbucketed program.
     """
     compute_dtype = _dtype_of(compute_dtype_name)
     prefill_step = int_args[0]
@@ -234,13 +268,11 @@ def generate_fused(
     key = jax.random.PRNGKey(int_args[2])
     cfg_scale, temperature, top_p = float_args[0], float_args[1], float_args[2]
 
-    enc_state = new_encoder_state(config, enc_input)
-    enc_out = encoder_forward(
-        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    cross_cache, cross_mask, padding_mask = _conditioning(
+        params, config, enc_input, compute_dtype, cross_window
     )
-    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
-    cross_mask = cross_attention_mask(enc_state.padding_mask)
-    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype)
+    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype,
+                                max_len=cache_len)
 
     if prefill_window is not None:
         window_tokens = jnp.clip(tokens_buf[:prefill_window], 0)
@@ -254,7 +286,7 @@ def generate_fused(
             params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
             self_cache, compute_dtype,
             dec_segment_ids=valid.astype(jnp.int32),
-            enc_segment_ids=enc_state.padding_mask.astype(jnp.int32),
+            enc_segment_ids=padding_mask.astype(jnp.int32),
         )
 
     return _decode_loop_core(
@@ -279,7 +311,8 @@ class BatchLoopState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "greedy", "cfg_filter_top_k", "compute_dtype_name"),
+    static_argnames=("config", "greedy", "cfg_filter_top_k", "compute_dtype_name",
+                     "cross_window", "cache_len"),
     donate_argnames=("tokens_buf",),
 )
 def generate_fused_batch(
@@ -292,6 +325,8 @@ def generate_fused_batch(
     greedy: bool,
     cfg_filter_top_k: int,
     compute_dtype_name: str,
+    cross_window: int | None = None,
+    cache_len: int | None = None,
 ):
     """N-stream batched generation (no audio prompts) in one dispatch.
 
@@ -311,13 +346,10 @@ def generate_fused_batch(
     max_delay = d.max_delay
     eos, pad = d.audio_eos_value, d.audio_pad_value
 
-    enc_state = new_encoder_state(config, enc_input)
-    enc_out = encoder_forward(
-        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    cross_cache, cross_mask, _ = _conditioning(
+        params, config, enc_input, compute_dtype, cross_window
     )
-    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
-    cross_mask = cross_attention_mask(enc_state.padding_mask)
-    self_cache = new_self_cache(config, 2 * N, dtype=compute_dtype)
+    self_cache = new_self_cache(config, 2 * N, dtype=compute_dtype, max_len=cache_len)
 
     def cond(s: BatchLoopState):
         return (s.t < max_tokens - 1) & (~jnp.all(s.stopped))
@@ -392,7 +424,7 @@ def generate_fused_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "compute_dtype_name"),
+    static_argnames=("config", "compute_dtype_name", "cross_window", "cache_len"),
 )
 def prepare_stream(
     params,
@@ -401,16 +433,15 @@ def prepare_stream(
     tokens_buf: jax.Array,  # [T_max, C]
     seed: jax.Array,  # scalar int32
     compute_dtype_name: str,
+    cross_window: int | None = None,
+    cache_len: int | None = None,
 ):
     """Conditioning + initial loop state for segment-wise (streaming) decoding."""
     compute_dtype = _dtype_of(compute_dtype_name)
-    enc_state = new_encoder_state(config, enc_input)
-    enc_out = encoder_forward(
-        params, config, enc_input, enc_state.positions, enc_state.attn_mask, compute_dtype
+    cross_cache, cross_mask, _ = _conditioning(
+        params, config, enc_input, compute_dtype, cross_window
     )
-    cross_cache = precompute_cross_cache(params, config, enc_out, enc_state.positions)
-    cross_mask = cross_attention_mask(enc_state.padding_mask)
-    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype)
+    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype, max_len=cache_len)
     state = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,
@@ -461,6 +492,38 @@ def decode_segment(
     return jax.lax.while_loop(cond, body, state)
 
 
+def _bucket(n: int, mult: int, cap: int) -> int:
+    """Round ``n`` up to a multiple of ``mult``, clamped to [mult, cap]."""
+    return min(cap, max(mult, -(-int(n) // mult) * mult))
+
+
+def _cross_window_for(enc_input: np.ndarray, config: DiaConfig) -> int | None:
+    """Static text-key bucket for the cross cache (128-multiples).  One
+    executable per bucket; disable with DIA_CROSS_BUCKET=0."""
+    import os
+
+    if os.environ.get("DIA_CROSS_BUCKET", "1") == "0":
+        return None
+    d = config.data
+    text_len = int((np.asarray(enc_input) != d.text_pad_value).sum(axis=-1).max())
+    w = _bucket(text_len, 128, d.text_length)
+    return None if w >= d.text_length else w
+
+
+def _cache_len_for(max_tokens: int, floor: int, config: DiaConfig) -> int | None:
+    """Static self-cache length bucket (256-multiples of max_tokens).  The
+    decode step reads the whole cache buffer every token regardless of the
+    valid prefix, so allocating ``audio_length`` slots for a short run pays
+    full-length bandwidth; disable with DIA_CACHE_BUCKET=0."""
+    import os
+
+    if os.environ.get("DIA_CACHE_BUCKET", "1") == "0":
+        return None
+    cap = config.data.audio_length
+    n = _bucket(max(int(max_tokens), int(floor)), 256, cap)
+    return None if n >= cap else n
+
+
 class DiaGenerator:
     """User-facing generation orchestrator (reference API: dia/model.py:631-846).
 
@@ -486,8 +549,13 @@ class DiaGenerator:
         audio_prompt_text: str | None = None,
         seed: int | None = None,
         verbose: bool = False,
+        cache_len: int | None = None,
     ) -> np.ndarray:
-        """Text → undelayed codec tokens [T, C] (delay already reverted)."""
+        """Text → undelayed codec tokens [T, C] (delay already reverted).
+
+        ``cache_len`` pins the static self-cache bucket (servers pass their
+        max so every request length shares one executable); default = a
+        256-bucket of ``max_tokens``."""
         cfg = self.config
         d = cfg.data
         if audio_prompt_codes is not None and not audio_prompt_text:
@@ -517,6 +585,10 @@ class DiaGenerator:
             jnp.asarray(int_args), jnp.asarray(float_args),
             prefill_window=window, greedy=(temperature == 0.0),
             cfg_filter_top_k=cfg_filter_top_k, compute_dtype_name=self.compute_dtype,
+            cross_window=_cross_window_for(enc_input, cfg),
+            cache_len=(_cache_len_for(max_tokens, window or 0, cfg)
+                       if cache_len is None
+                       else _cache_len_for(cache_len, window or 0, cfg)),
         )
         tokens = np.asarray(tokens)
         final_step = int(final_step)
@@ -573,6 +645,8 @@ class DiaGenerator:
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
             jnp.asarray(_resolve_seed(seed), jnp.int32), self.compute_dtype,
+            cross_window=_cross_window_for(enc_input, cfg),
+            cache_len=_cache_len_for(max_tokens, 0, cfg),
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)
@@ -613,6 +687,7 @@ class DiaGenerator:
         top_p: float = 0.95,
         cfg_filter_top_k: int = 35,
         seed: int | None = None,
+        cache_len: int | None = None,
     ) -> list[np.ndarray]:
         """N independent prompts → N undelayed token arrays, decoded in one
         batched device-resident loop (2N CFG rows).  Aggregate throughput
@@ -648,6 +723,8 @@ class DiaGenerator:
             jnp.asarray(int_args), jnp.asarray(float_args),
             greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
             compute_dtype_name=self.compute_dtype,
+            cross_window=_cross_window_for(enc_input, cfg),
+            cache_len=_cache_len_for(cache_len or max_tokens, 0, cfg),
         )
         tokens = np.asarray(tokens)
         final_steps = np.asarray(final_steps)

@@ -134,3 +134,49 @@ def test_token_stream_seeded_sampling(tiny_gen):
         list(tiny_gen.generate_tokens_stream(text, segment_steps=20, max_tokens=64,
                                              temperature=1.1, seed=9)), axis=0)
     np.testing.assert_array_equal(streamed, offline)
+
+
+def test_bucketed_caches_match_unbucketed(monkeypatch):
+    """cross_window / cache_len buckets are pure byte-traffic optimizations:
+    tokens must be identical with buckets on and off, with and without an
+    audio prompt (prefill)."""
+    cfg = tiny_test_config(text_length=256, audio_length=512)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    gen = DiaGenerator(params, cfg)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 1024, (12, 9)).astype(np.int32)
+
+    def run():
+        a = gen.generate_tokens("[S1] bucket parity", max_tokens=96, temperature=0.0)
+        b = gen.generate_tokens(
+            "[S2] more", max_tokens=96, temperature=0.0,
+            audio_prompt_codes=prompt, audio_prompt_text="[S1] bucket parity",
+        )
+        c = gen.generate_tokens("[S1] sampled", max_tokens=64, temperature=1.1, seed=5)
+        return a, b, c
+
+    monkeypatch.setenv("DIA_CROSS_BUCKET", "1")
+    monkeypatch.setenv("DIA_CACHE_BUCKET", "1")
+    bucketed = run()
+    monkeypatch.setenv("DIA_CROSS_BUCKET", "0")
+    monkeypatch.setenv("DIA_CACHE_BUCKET", "0")
+    full = run()
+    for x, y in zip(bucketed, full):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_bucket_helpers():
+    from dia_tts_prune_tpu.generate import _bucket, _cache_len_for, _cross_window_for
+
+    cfg = tiny_test_config(text_length=256, audio_length=512)
+    assert _bucket(1, 128, 1024) == 128
+    assert _bucket(129, 128, 1024) == 256
+    assert _bucket(2000, 128, 1024) == 1024
+    enc = np.zeros((2, 256), np.int32)
+    enc[1, :40] = 5
+    assert _cross_window_for(enc, cfg) == 128
+    enc[1, :200] = 5
+    assert _cross_window_for(enc, cfg) is None  # bucket == full length
+    assert _cache_len_for(100, 0, cfg) == 256
+    assert _cache_len_for(500, 0, cfg) is None  # == audio_length
+    assert _cache_len_for(100, 300, cfg) is None  # prefill floor dominates: 512 == cap
