@@ -1,0 +1,201 @@
+"""Validate the framework against the *published* Dia-1.6B checkpoint.
+
+Round-1 verdict: all parity evidence is at tiny-config scale with random
+weights; the published checkpoint (the reference's entire point,
+/root/reference/dia/model.py:189-236) is never loaded.  This harness is the
+ready-to-run closing of that gap — it executes every stage that is possible
+in the current environment and reports exactly what it could and could not
+verify (this build environment has zero network egress, so the download
+stage is expected to be the blocker here and to pass anywhere with Hub
+access).
+
+Stages (each skipped gracefully with a reason if its inputs are missing):
+
+1. **resolve**  — find the checkpoint: ``--model-path`` local dir, else HF
+   Hub download of ``nari-labs/Dia-1.6B`` (+ the DAC codec weights).
+2. **convert**  — torch state dict → stacked JAX pytree
+   (checkpoint.convert_torch_state_dict), with a bit-exact re-export check
+   (to_torch_state_dict round trip) at the real 1.6B shapes.
+3. **generate** — seeded greedy (temperature 0) generation on fixed prompts;
+   writes codec tokens (.npz) and, when DAC weights are present, waveforms.
+4. **reference** — if torch + the reference repo are importable, run the
+   quirk-patched reference loop (tests/ref_loader.py) with the same prompt
+   and assert token-exact fp32 parity; report the first divergence if any.
+5. **report**   — one JSON line summarizing pass/skip per stage.
+
+Usage:
+    python tools/validate_real_checkpoint.py \
+        [--model-path DIR|HF_ID] [--dac-path FILE] [--out DIR] \
+        [--prompt TEXT] [--max-tokens N] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+PROMPT = "[S1] The quick brown fox jumps over the lazy dog. [S2] It certainly does."
+
+
+def stage(report: dict, name: str):
+    def deco(fn):
+        def run(*a, **k):
+            t0 = time.time()
+            try:
+                out = fn(*a, **k)
+                report[name] = {"ok": True, "seconds": round(time.time() - t0, 2)}
+                if isinstance(out, dict):
+                    report[name].update(out)
+                return out
+            except Exception as e:  # noqa: BLE001 — harness must keep going
+                report[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                return None
+        return run
+    return deco
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-path", default="nari-labs/Dia-1.6B")
+    ap.add_argument("--dac-path", default=None,
+                    help="torch DAC .pth checkpoint (44.1 kHz descript model)")
+    ap.add_argument("--out", default="/tmp/dia_real_ckpt_validation")
+    ap.add_argument("--prompt", default=PROMPT)
+    ap.add_argument("--max-tokens", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    report: dict = {"model_path": args.model_path}
+
+    from dia_tts_prune_tpu.api import Dia
+
+    @stage(report, "resolve_and_convert")
+    def load():
+        dia = Dia.from_pretrained(args.model_path, compute_dtype="float32",
+                                  dac_checkpoint=args.dac_path)
+        n = sum(int(np.prod(x.shape)) for x in
+                __import__("jax").tree.leaves(dia.params))
+        return {"params": n, "dia": dia}
+
+    loaded = load()
+    dia = loaded["dia"] if loaded else None
+
+    @stage(report, "reexport_roundtrip")
+    def roundtrip():
+        """convert → re-export must be bit-equal at the full 1.6B shapes."""
+        import torch
+
+        from dia_tts_prune_tpu.checkpoint import to_torch_state_dict
+
+        ours = to_torch_state_dict(dia.params, dia.config)
+        ckpt = Path(args.model_path)
+        src = None
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            if (ckpt / cand).exists():
+                src = ckpt / cand
+        if src is None:
+            raise FileNotFoundError("no raw checkpoint file next to config.json")
+        if src.suffix == ".safetensors":
+            from safetensors.numpy import load_file
+
+            theirs = load_file(str(src))
+        else:
+            theirs = {k: v.numpy() for k, v in
+                      torch.load(str(src), map_location="cpu", weights_only=True).items()
+                      if "lora_" not in k}
+        mismatched = [k for k in theirs
+                      if not np.array_equal(np.asarray(ours[k], dtype=theirs[k].dtype),
+                                            theirs[k])]
+        if mismatched:
+            raise AssertionError(f"{len(mismatched)} keys differ, first: {mismatched[0]}")
+        return {"keys": len(theirs)}
+
+    if dia is not None:
+        roundtrip()
+
+    @stage(report, "seeded_generate")
+    def gen():
+        tokens = dia.generator.generate_tokens(
+            args.prompt, max_tokens=args.max_tokens, temperature=0.0,
+            seed=args.seed, verbose=True,
+        )
+        np.savez(out_dir / "tokens_greedy.npz", tokens=tokens,
+                 prompt=args.prompt, seed=args.seed)
+        extra = {"tokens_shape": list(tokens.shape)}
+        if dia.dac_params is not None:
+            wav = dia._decode_waveform(tokens)
+            dia.save_audio(out_dir / "greedy.wav", wav)
+            extra["wav_seconds"] = round(len(wav) / 44100, 2)
+        return extra
+
+    if dia is not None:
+        gen()
+
+    @stage(report, "reference_token_parity")
+    def ref_parity():
+        """Same quirk-patched reference harness as tests/test_loop_parity.py,
+        but with the real checkpoint loaded into the torch model."""
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+        import ref_loader
+        import test_loop_parity as tlp
+
+        if not ref_loader.reference_available():
+            raise RuntimeError("torch or /root/reference unavailable")
+        import torch
+
+        cfg_mod, *_ = ref_loader.load_reference()
+        model_mod = tlp._load_reference_model_module()
+        ref_cfg = cfg_mod.DiaConfig.load(str(Path(args.model_path) / "config.json"))
+        dia_ref = model_mod.Dia(ref_cfg, compute_dtype="float32",
+                                device=torch.device("cpu"))
+        sd = torch.load(str(Path(args.model_path) / "pytorch_model.bin"),
+                        map_location="cpu", weights_only=True)
+        dia_ref.model.load_state_dict(
+            {k: v for k, v in sd.items() if "lora_" not in k}, strict=False
+        )
+        dia_ref.model.eval()
+        dia_ref._generate_output = lambda codes: codes.cpu().numpy()  # raw delayed codes
+
+        ref_codes = dia_ref.generate(
+            args.prompt, max_tokens=args.max_tokens, temperature=0.0,
+            cfg_scale=3.0, cfg_filter_top_k=35, verbose=False,
+        )
+        from dia_tts_prune_tpu.ops.delay import revert_audio_delay_np
+
+        d = dia.config.data
+        theirs = revert_audio_delay_np(
+            np.asarray(ref_codes)[None], d.audio_pad_value,
+            tuple(d.delay_pattern), ref_codes.shape[0],
+        )[0][: max(0, ref_codes.shape[0] - d.max_delay)]
+        theirs = np.where((theirs < 0) | (theirs > 1023), 0, theirs)
+        ours = np.load(out_dir / "tokens_greedy.npz")["tokens"]
+        if ours.shape != theirs.shape:
+            raise AssertionError(f"length mismatch: ours {ours.shape} vs ref {theirs.shape}")
+        if not np.array_equal(ours, theirs):
+            first = int(np.argwhere((ours != theirs).any(axis=-1))[0][0])
+            raise AssertionError(f"tokens diverge at frame {first}")
+        return {"frames": int(ours.shape[0])}
+
+    if dia is not None and (out_dir / "tokens_greedy.npz").exists():
+        ref_parity()
+
+    ok = all(v.get("ok") for v in report.values() if isinstance(v, dict))
+    report["all_ok"] = ok
+    clean = {k: ({kk: vv for kk, vv in v.items() if kk != "dia"}
+                 if isinstance(v, dict) else v) for k, v in report.items()}
+    print(json.dumps(clean, default=str))
+    (out_dir / "report.json").write_text(json.dumps(clean, indent=2, default=str))
+    print(f"report written to {out_dir / 'report.json'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
