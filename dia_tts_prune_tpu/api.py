@@ -281,6 +281,7 @@ class Dia:
         segment_steps: int = 128,
         overlap_frames: int = 32,
         lookahead_frames: int = 32,
+        audio_prompt: "str | np.ndarray | None" = None,
         **kwargs,
     ):
         """Stream audio chunks while generation continues.
@@ -294,6 +295,10 @@ class Dia:
         (its generate is monolithic).
         """
         self._require_dac()
+        if isinstance(audio_prompt, (str, Path)):
+            kwargs["audio_prompt_codes"] = self.load_audio(audio_prompt)
+        elif audio_prompt is not None:
+            kwargs["audio_prompt_codes"] = np.asarray(audio_prompt)
         hop = self.dac_config.hop_length
         codes_all = np.zeros((0, self.dac_config.n_codebooks), np.int32)
         emitted_f = 0  # frames already emitted as audio
@@ -329,14 +334,27 @@ class Dia:
         temperature: float = 1.3,
         top_p: float = 0.95,
         cfg_filter_top_k: int = 35,
+        audio_prompts: "list[str | np.ndarray | None] | None" = None,
+        audio_prompt_texts: "list[str | None] | None" = None,
         seed: int | None = None,
     ) -> list[np.ndarray | None]:
         """Batched serving: N prompts decoded in one device-resident loop,
         then one batched codec decode.  Beyond the reference, which is
-        single-stream only (SURVEY.md Q4)."""
+        single-stream only (SURVEY.md Q4).  ``audio_prompts`` (per-stream WAV
+        paths or [T, C] code arrays) enables batched voice cloning — the
+        reference app's rolling-prompt long-form pipeline at batch speed."""
+        prompt_codes = None
+        if audio_prompts is not None:
+            prompt_codes = [
+                self.load_audio(p) if isinstance(p, (str, Path))
+                else (np.asarray(p) if p is not None else None)
+                for p in audio_prompts
+            ]
         codes_list = self.generator.generate_tokens_batch(
             texts, max_tokens=max_tokens, cfg_scale=cfg_scale, temperature=temperature,
-            top_p=top_p, cfg_filter_top_k=cfg_filter_top_k, seed=seed,
+            top_p=top_p, cfg_filter_top_k=cfg_filter_top_k,
+            audio_prompt_codes=prompt_codes, audio_prompt_texts=audio_prompt_texts,
+            seed=seed,
         )
         self._require_dac()
         outs: list[np.ndarray | None] = []

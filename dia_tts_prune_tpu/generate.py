@@ -51,6 +51,7 @@ from .models.dia import (
     precompute_cross_cache,
 )
 from .ops.delay import revert_audio_delay_np
+from .parallel.sharding import constrain, cross_cache_spec, self_cache_spec
 from .ops.masks import create_attn_mask
 from .ops.sampling import (
     apply_constraints,
@@ -223,8 +224,70 @@ def _conditioning(params, config, enc_input, compute_dtype, cross_window):
         enc_positions = enc_positions[:, :cross_window]
         padding_mask = padding_mask[:, :cross_window]
     cross_cache = precompute_cross_cache(params, config, enc_out, enc_positions)
+    # TP: keep cross-attention KV sharded on the head axis inside the loop
+    # (16 cross heads / 4 chips on v5e-4 → each step reads only local keys)
+    cross_cache = KVCache(
+        k=constrain(cross_cache.k, cross_cache_spec()),
+        v=constrain(cross_cache.v, cross_cache_spec()),
+    )
     cross_mask = cross_attention_mask(padding_mask)
     return cross_cache, cross_mask, padding_mask
+
+
+def _new_self_cache_sharded(config, batch, dtype, max_len):
+    """Self-attention cache, constrained to the TP layout (1 KV head/chip on
+    v5e-4) when generation runs under a mesh — the constraint propagates
+    through the while-loop carry so the cache is never replicated."""
+    cache = new_self_cache(config, batch, dtype=dtype, max_len=max_len)
+    return KVCache(
+        k=constrain(cache.k, self_cache_spec()),
+        v=constrain(cache.v, self_cache_spec()),
+    )
+
+
+def _run_prefill(
+    params,
+    config: DiaConfig,
+    tokens_NxTxC: jax.Array,  # [N, T_max, C] per-stream buffers (N=1 single)
+    prefill_window: int,  # static W: prompts occupy rows [offset_i, W)
+    offsets: jax.Array,  # int32 [N]: W - prefill_step_i (0 for single-stream)
+    prefill_steps: jax.Array,  # int32 [N]
+    cross_cache: KVCache,
+    cross_mask: jax.Array,
+    padding_mask: jax.Array,  # [2N, S] encoder padding (CFG rows)
+    self_cache: KVCache,
+    compute_dtype,
+) -> KVCache:
+    """Prompt prefill into the self-attention cache, shared by the fused,
+    streaming and batched paths.
+
+    Streams are LEFT-padded so every prompt's last token lands on row
+    ``W-1`` — the decode loop then advances all streams in lockstep from
+    ``t = W`` (reference semantics per stream: dia/model.py:403-419).  Only
+    rows ``[offset_i, W-1)`` are prefilled; the final prompt token is
+    consumed by the first loop step (parity with the single-stream path).
+    RoPE positions are row-local (``row - offset_i``) so a stream's math is
+    identical to its unpadded single-stream run.
+    """
+    N = tokens_NxTxC.shape[0]
+    C = tokens_NxTxC.shape[-1]
+    window_tokens = jnp.clip(
+        jax.lax.slice_in_dim(tokens_NxTxC, 0, prefill_window, axis=1), 0
+    )  # [N, W, C]
+    tgt = jnp.concatenate([window_tokens, window_tokens], axis=0)  # [2N, W, C]
+    rows = jnp.arange(prefill_window, dtype=jnp.int32)[None]  # [1, W]
+    off2 = jnp.concatenate([offsets, offsets])[:, None]  # [2N, 1]
+    steps2 = jnp.concatenate([prefill_steps, prefill_steps])[:, None]
+    positions = jnp.maximum(rows - off2, 0)  # [2N, W] row-local positions
+    valid = (rows >= off2) & (rows - off2 < steps2 - 1)
+    prefill_mask = create_attn_mask(valid, valid, is_causal=True)
+    _, self_cache = decoder_prefill(
+        params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
+        self_cache, compute_dtype,
+        dec_segment_ids=valid.astype(jnp.int32),
+        enc_segment_ids=padding_mask.astype(jnp.int32),
+    )
+    return self_cache
 
 
 @partial(
@@ -271,22 +334,13 @@ def generate_fused(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype,
-                                max_len=cache_len)
+    self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len)
 
     if prefill_window is not None:
-        window_tokens = jnp.clip(tokens_buf[:prefill_window], 0)
-        tgt = jnp.broadcast_to(window_tokens[None], (CFG_BATCH, *window_tokens.shape))
-        positions = jnp.broadcast_to(
-            jnp.arange(prefill_window, dtype=jnp.int32)[None], (CFG_BATCH, prefill_window)
-        )
-        valid = positions < (prefill_step - 1)
-        prefill_mask = create_attn_mask(valid, valid, is_causal=True)
-        _, self_cache = decoder_prefill(
-            params, config, tgt, positions, prefill_mask, cross_cache, cross_mask,
-            self_cache, compute_dtype,
-            dec_segment_ids=valid.astype(jnp.int32),
-            enc_segment_ids=padding_mask.astype(jnp.int32),
+        self_cache = _run_prefill(
+            params, config, tokens_buf[None], prefill_window,
+            jnp.zeros((1,), jnp.int32), prefill_step[None],
+            cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
 
     return _decode_loop_core(
@@ -311,30 +365,44 @@ class BatchLoopState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "greedy", "cfg_filter_top_k", "compute_dtype_name",
-                     "cross_window", "cache_len"),
+    static_argnames=("config", "prefill_window", "greedy", "cfg_filter_top_k",
+                     "compute_dtype_name", "cross_window", "cache_len"),
     donate_argnames=("tokens_buf",),
 )
 def generate_fused_batch(
     params,
     config: DiaConfig,
     enc_input: jax.Array,  # [2N, T_text]: rows [uncond×N ; cond×N]
-    tokens_buf: jax.Array,  # [N, T_max, C] with BOS templates
+    tokens_buf: jax.Array,  # [N, T_max, C] with per-stream delayed templates
+    prefill_steps: jax.Array,  # int32 [N]: 1 + prompt length per stream
     int_args: jax.Array,  # [2] int32: max_tokens, seed
     float_args: jax.Array,  # [3] f32: cfg_scale, temperature, top_p
+    prefill_window: int | None,
     greedy: bool,
     cfg_filter_top_k: int,
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
 ):
-    """N-stream batched generation (no audio prompts) in one dispatch.
+    """N-stream batched generation — with per-stream voice-clone prompts —
+    in one dispatch.
 
     Decoding is weight-bandwidth-bound: every stream shares the same weight
     reads per step, so aggregate codec-tokens/s scales nearly linearly with N
     until compute/VMEM limits.  Per-stream EOS state machines are vectorized;
     finished streams freeze (their rows stop being written) until all stop.
-    The single-stream semantics per stream are identical to generate_fused.
+
+    Audio prompts of different lengths are LEFT-padded to the static
+    ``prefill_window`` bucket: stream ``i``'s delayed template occupies rows
+    ``[W - P_i, W + max_delay)``, so every prompt ends at row ``W-1`` and the
+    loop advances all streams in lockstep from ``t = W``.  RoPE positions and
+    attention masks are row-local per stream (``row - offset_i``), making
+    each stream's math identical to its single-stream run (the reference's
+    rolling-prompt app pipeline, /root/reference/app.py:221-226, conditions
+    every batch on audio prompts — this path serves it at batch speed).
+    ``max_tokens`` keeps the reference's total-row semantics per stream
+    (prompt + generated, dia/model.py:748): stream ``i`` stops by
+    ``t - offset_i >= max_tokens - 1``.
     """
     compute_dtype = _dtype_of(compute_dtype_name)
     d = config.data
@@ -346,13 +414,24 @@ def generate_fused_batch(
     max_delay = d.max_delay
     eos, pad = d.audio_eos_value, d.audio_pad_value
 
-    cross_cache, cross_mask, _ = _conditioning(
+    start = prefill_window if prefill_window is not None else 1
+    offsets = start - prefill_steps  # int32 [N], 0 when unprompted
+    # per-stream total-row cap on the global axis (clamped to the buffer)
+    caps = jnp.minimum(max_tokens + offsets, tokens_buf.shape[1])
+    valid_from2 = jnp.concatenate([offsets, offsets])  # [2N] first valid KV slot
+
+    cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = new_self_cache(config, 2 * N, dtype=compute_dtype, max_len=cache_len)
+    self_cache = _new_self_cache_sharded(config, 2 * N, compute_dtype, cache_len)
+    if prefill_window is not None:
+        self_cache = _run_prefill(
+            params, config, tokens_buf, prefill_window, offsets, prefill_steps,
+            cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
+        )
 
     def cond(s: BatchLoopState):
-        return (s.t < max_tokens - 1) & (~jnp.all(s.stopped))
+        return (s.t < jnp.max(caps) - 1) & (~jnp.all(s.stopped))
 
     def body(s: BatchLoopState) -> BatchLoopState:
         t = s.t + 1
@@ -360,10 +439,11 @@ def generate_fused_batch(
             s.tokens, (0, t - 1, 0), (N, 1, d.channels)
         )  # [N, 1, C]
         tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
-        position = jnp.full((2 * N, 1), t, dtype=jnp.int32)
+        position = (t - valid_from2)[:, None]  # [2N, 1] row-local RoPE positions
         logits, new_cache = _decode_step_fn()(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
+            valid_from=valid_from2,
         )  # [2N, 1, C, V]
         uncond = logits[:N, 0]
         cond_l = logits[N:, 0]
@@ -387,18 +467,21 @@ def generate_fused_batch(
         pred = jnp.where(force_eos, eos, jnp.where(force_pad, pad, pred))
         countdown = jnp.where(active, countdown - 1, countdown)
 
-        # BOS-window masked write + freeze finished streams
+        # BOS-window masked write + freeze finished streams.  All prompts end
+        # at row start-1, so the write-protect window (reference quirk Q8) is
+        # the shared first max_delay-1 steps after start.
         row = jax.lax.dynamic_slice(s.tokens, (0, t, 0), (N, 1, d.channels))[:, 0]
-        bos_window = t <= max_delay - 1  # scalar (no prompts → template len 1+max_delay)
+        bos_window = (t - start) < max_delay - 1
         write = jnp.where(bos_window & (row != -1), row, pred)
         write = jnp.where(s.stopped[:, None], row, write)
         tokens = jax.lax.dynamic_update_slice(s.tokens, write[:, None], (0, t, 0))
 
         stop_now = (countdown == 0) & (~s.stopped)
+        hit_cap = (t >= caps - 1) & (~s.stopped) & (~stop_now)
         final_step = jnp.where(s.stopped, s.final_step, jnp.where(stop_now, t - 1, t))
-        stopped = s.stopped | stop_now
+        stopped = s.stopped | stop_now | hit_cap
 
-        near_max = (t >= max_tokens - max_delay - 1) & (~eos_detected)
+        near_max = (t >= caps - max_delay - 1) & (~eos_detected)
         eos_detected = eos_detected | near_max
         countdown = jnp.where(near_max, max_delay, countdown)
 
@@ -412,11 +495,11 @@ def generate_fused_batch(
         tokens=tokens_buf,
         cache=self_cache,
         key=key,
-        t=jnp.asarray(0, jnp.int32),
+        t=jnp.asarray(start - 1, jnp.int32),
         eos_detected=jnp.zeros((N,), jnp.bool_),
         eos_countdown=jnp.full((N,), -1, jnp.int32),
         stopped=jnp.zeros((N,), jnp.bool_),
-        final_step=jnp.zeros((N,), jnp.int32),
+        final_step=jnp.full((N,), start - 1, jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens, final.final_step
@@ -424,29 +507,41 @@ def generate_fused_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "compute_dtype_name", "cross_window", "cache_len"),
+    static_argnames=("config", "prefill_window", "compute_dtype_name",
+                     "cross_window", "cache_len"),
 )
 def prepare_stream(
     params,
     config: DiaConfig,
     enc_input: jax.Array,  # [2, T_text]
-    tokens_buf: jax.Array,  # [T_max, C]
-    seed: jax.Array,  # scalar int32
+    tokens_buf: jax.Array,  # [T_max, C] with prefill template
+    int_args: jax.Array,  # [2] int32: prefill_step, seed
+    prefill_window: int | None,
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
 ):
-    """Conditioning + initial loop state for segment-wise (streaming) decoding."""
+    """Conditioning + voice-clone prefill + initial loop state for
+    segment-wise (streaming) decoding.  Identical prefill semantics to
+    ``generate_fused`` — a prompted stream's yields concatenate to the
+    prompted offline run bit-for-bit."""
     compute_dtype = _dtype_of(compute_dtype_name)
-    cross_cache, cross_mask, _ = _conditioning(
+    prefill_step = int_args[0]
+    cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = new_self_cache(config, CFG_BATCH, dtype=compute_dtype, max_len=cache_len)
+    self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len)
+    if prefill_window is not None:
+        self_cache = _run_prefill(
+            params, config, tokens_buf[None], prefill_window,
+            jnp.zeros((1,), jnp.int32), prefill_step[None],
+            cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
+        )
     state = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,
-        key=jax.random.PRNGKey(seed),
-        dec_step=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(int_args[1]),
+        dec_step=prefill_step.astype(jnp.int32) - 1,
         eos_detected=jnp.asarray(False),
         eos_countdown=jnp.asarray(-1, jnp.int32),
         bos_countdown=jnp.asarray(config.data.max_delay, jnp.int32),
@@ -621,6 +716,8 @@ class DiaGenerator:
         temperature: float = 1.3,
         top_p: float = 0.95,
         cfg_filter_top_k: int = 35,
+        audio_prompt_codes: np.ndarray | None = None,
+        audio_prompt_text: str | None = None,
         seed: int | None = None,
     ):
         """Stream undelayed codec frames as generation progresses.
@@ -629,24 +726,30 @@ class DiaGenerator:
         yields the newly *finalized* undelayed frames after each segment (a
         frame is final once all raw rows it gathers from exist, i.e. trailing
         ``max_delay`` rows stay pending).  The concatenation of all yields is
-        bit-identical to ``generate_tokens`` for the same arguments.  No-prompt
-        path only (streaming + voice-clone prefill is a follow-up).
+        bit-identical to ``generate_tokens`` for the same arguments, including
+        voice-clone prompts (prefill runs inside ``prepare_stream``).
         """
         cfg = self.config
         d = cfg.data
         max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
+        if audio_prompt_codes is not None and not audio_prompt_text:
+            raise ValueError("`audio_prompt_text` is required when `audio_prompt_codes` is provided.")
 
-        effective_text = build_effective_text(text)
+        effective_text = build_effective_text(text, audio_prompt_text)
         enc_input = encode_cfg_batch(effective_text, d.text_length, d.text_pad_value)
-        delayed, prefill_step = prepare_audio_prompt(cfg, None)
+        delayed, prefill_step = prepare_audio_prompt(cfg, audio_prompt_codes)
         tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
         tokens_buf[: delayed.shape[0]] = delayed
 
+        window = None
+        if prefill_step > 1:
+            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
-            jnp.asarray(_resolve_seed(seed), jnp.int32), self.compute_dtype,
+            jnp.asarray([prefill_step, _resolve_seed(seed)], jnp.int32),
+            prefill_window=window, compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
-            cache_len=_cache_len_for(max_tokens, 0, cfg),
+            cache_len=_cache_len_for(max_tokens, window or 0, cfg),
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)
@@ -655,7 +758,7 @@ class DiaGenerator:
         mt = jnp.asarray(max_tokens, jnp.int32)
 
         emitted = 0
-        seg_end = 0
+        seg_end = prefill_step - 1
         while True:
             seg_end = min(seg_end + segment_steps, max_tokens - 1)
             state = decode_segment(
@@ -686,14 +789,21 @@ class DiaGenerator:
         temperature: float = 1.3,
         top_p: float = 0.95,
         cfg_filter_top_k: int = 35,
+        audio_prompt_codes: "list[np.ndarray | None] | None" = None,
+        audio_prompt_texts: "list[str | None] | None" = None,
         seed: int | None = None,
         cache_len: int | None = None,
     ) -> list[np.ndarray]:
         """N independent prompts → N undelayed token arrays, decoded in one
         batched device-resident loop (2N CFG rows).  Aggregate throughput
         scales with N because every stream shares the per-step weight reads.
-        Audio prompts are not supported in the batched path (streams would
-        need per-stream prefill lengths) — use generate_tokens per stream.
+
+        Per-stream voice-clone prompts are supported: prompt templates are
+        left-padded to a shared 128-bucket window so all prompts end on the
+        same row, and RoPE positions/attention masks stay row-local — each
+        stream reproduces its single-stream run exactly (the reference app's
+        rolling-prompt pipeline, /root/reference/app.py:221-226, needs
+        exactly this: every batch conditioned on audio prompts).
         """
         cfg = self.config
         d = cfg.data
@@ -701,37 +811,59 @@ class DiaGenerator:
         N = len(texts)
         if N == 0:
             return []
+        prompts = audio_prompt_codes or [None] * N
+        prompt_texts = audio_prompt_texts or [None] * N
+        if len(prompts) != N or len(prompt_texts) != N:
+            raise ValueError("audio prompt lists must match len(texts)")
+        for p, pt in zip(prompts, prompt_texts):
+            if p is not None and not pt:
+                raise ValueError("`audio_prompt_texts[i]` is required when `audio_prompt_codes[i]` is provided.")
 
         conds = [
-            encode_cfg_batch(build_effective_text(t), d.text_length, d.text_pad_value)
-            for t in texts
+            encode_cfg_batch(build_effective_text(t, pt), d.text_length, d.text_pad_value)
+            for t, pt in zip(texts, prompt_texts)
         ]
         # rows [uncond×N ; cond×N]
         enc_input = np.concatenate(
             [np.stack([c[0] for c in conds]), np.stack([c[1] for c in conds])], axis=0
         )
 
-        delayed, prefill_step = prepare_audio_prompt(cfg, None)
-        assert prefill_step == 1
+        templates = [prepare_audio_prompt(cfg, p) for p in prompts]
+        prefill_steps = np.asarray([t[1] for t in templates], np.int32)
+        window = None
+        max_p = int(prefill_steps.max())
+        if max_p > 1:
+            # 128-bucketed window for executable reuse across prompt lengths;
+            # exact window when the bucket would eat the generation budget
+            # (all streams start generating at row `window`, unlike the
+            # single-stream path where the window never shifts the loop)
+            window = max(128, -(-max_p // 128) * 128)
+            if window > d.audio_length - 32:
+                window = max_p
+        start = window if window is not None else 1
         tokens_buf = np.full((N, d.audio_length, d.channels), -1, dtype=np.int32)
-        tokens_buf[:, : delayed.shape[0]] = delayed[None]
+        for i, (delayed, p_i) in enumerate(templates):
+            off = start - p_i
+            tokens_buf[i, off : off + delayed.shape[0]] = delayed
 
+        caps = np.minimum(max_tokens + (start - prefill_steps), d.audio_length)
         int_args = np.asarray([max_tokens, _resolve_seed(seed)], np.int32)
         float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
         tokens, final_steps = generate_fused_batch(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
-            jnp.asarray(int_args), jnp.asarray(float_args),
+            jnp.asarray(prefill_steps), jnp.asarray(int_args), jnp.asarray(float_args),
+            prefill_window=window,
             greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
             compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
-            cache_len=_cache_len_for(cache_len or max_tokens, 0, cfg),
+            cache_len=_cache_len_for(cache_len or int(caps.max()), start, cfg),
         )
         tokens = np.asarray(tokens)
         final_steps = np.asarray(final_steps)
 
         outs = []
         for i in range(N):
-            generated = tokens[i, 1 : int(final_steps[i]) + 1]
+            generated = tokens[i, start : int(final_steps[i]) + 1]
             if generated.shape[0] == 0:
                 outs.append(np.zeros((0, d.channels), np.int32))
                 continue

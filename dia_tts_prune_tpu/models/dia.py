@@ -389,6 +389,7 @@ def decode_step(
     cross_cache: KVCache,
     cross_attn_mask: jax.Array | None,  # bool [B, 1, 1, S]
     compute_dtype=jnp.float32,
+    valid_from: jax.Array | None = None,  # int32 [B]: first valid cache slot
 ) -> tuple[jax.Array, KVCache]:
     """Single autoregressive decode step (reference: dia/layers.py:671-720).
 
@@ -397,6 +398,10 @@ def decode_step(
     final norm, logits head.  Layers are unrolled in Python so each cache
     buffer is a distinct in-place ``dynamic_update_slice`` in the while-loop
     carry — no cache copies per step.
+
+    ``valid_from`` (batched voice-clone): per-row first valid cache slot —
+    streams with shorter audio prompts are left-padded so all prompts END at
+    the same slot, and the pad slots must stay masked out of attention.
 
     Returns (logits [B, 1, C, V] fp32, updated cache).
     """
@@ -412,6 +417,10 @@ def decode_step(
     # Valid-slot mask over the static-length cache: slots [0, write_slot].
     slot_ids = jnp.arange(Tmax, dtype=jnp.int32)
     self_mask = (slot_ids <= write_slot)[None, None, None, :]  # [1,1,1,Tmax]
+    if valid_from is not None:
+        self_mask = self_mask & (
+            slot_ids[None, :] >= valid_from[:, None]
+        )[:, None, None, :]  # [B,1,1,Tmax]
 
     new_k = self_cache.k
     new_v = self_cache.v
@@ -465,6 +474,7 @@ def decode_step_scan(
     cross_cache: KVCache,
     cross_attn_mask: jax.Array | None,
     compute_dtype=jnp.float32,
+    valid_from: jax.Array | None = None,  # int32 [B]: first valid cache slot
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step`` with layers scanned instead of unrolled.
 
@@ -488,6 +498,10 @@ def decode_step_scan(
 
     slot_ids = jnp.arange(Tmax, dtype=jnp.int32)
     prefix_mask = (slot_ids < write_slot)[None, None, None, :]  # [1,1,1,Tmax]
+    if valid_from is not None:
+        prefix_mask = prefix_mask & (
+            slot_ids[None, :] >= valid_from[:, None]
+        )[:, None, None, :]  # [B,1,1,Tmax]
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
 
     def layer_fn(x, xs):

@@ -117,6 +117,37 @@ def batch_spec(ndim: int) -> P:
     return P(AXIS_DATA, *([None] * (ndim - 1)))
 
 
+def active_mesh() -> Mesh | None:
+    """The mesh installed by an enclosing ``with mesh:`` block (at trace
+    time), or None.  Lets jitted inference code apply sharding constraints
+    only when the caller is actually running multi-chip."""
+    from jax._src import mesh as mesh_lib
+
+    m = mesh_lib.thread_resources.env.physical_mesh
+    return None if m.empty else m
+
+
+def constrain(x, spec: P):
+    """``with_sharding_constraint`` against the active mesh, or identity.
+
+    Axes in ``spec`` whose corresponding dimension is not divisible by the
+    mesh-axis size are dropped (replicated) rather than left to GSPMD
+    padding, keeping shapes exact inside the decode loop.
+    """
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    fixed = []
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            fixed.append(None)
+            continue
+        size = mesh.shape.get(axis, 1)
+        fixed.append(axis if x.shape[dim] % size == 0 else None)
+    fixed.extend([None] * (x.ndim - len(fixed)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*fixed)))
+
+
 def shard_params(params: Params, mesh: Mesh, specs: Params | None = None,
                  config: DiaConfig | None = None) -> Params:
     """Commit the parameter pytree to the mesh with the TP layout."""

@@ -180,3 +180,55 @@ def test_bucket_helpers():
     assert _cache_len_for(100, 0, cfg) == 256
     assert _cache_len_for(500, 0, cfg) is None  # == audio_length
     assert _cache_len_for(100, 300, cfg) is None  # prefill floor dominates: 512 == cap
+
+
+def test_stream_with_prompt_matches_offline(tiny_gen):
+    """Streaming + voice-clone (VERDICT r1 missing #4): a prompted stream's
+    concatenated yields must equal the prompted offline run bit-for-bit."""
+    rng = np.random.default_rng(5)
+    prompt_codes = rng.integers(0, 1024, (18, 9)).astype(np.int32)
+    kwargs = dict(max_tokens=96, temperature=0.0,
+                  audio_prompt_codes=prompt_codes,
+                  audio_prompt_text="[S1] prompt words")
+    offline = tiny_gen.generate_tokens("[S2] continue this", **kwargs)
+    chunks = list(tiny_gen.generate_tokens_stream(
+        "[S2] continue this", segment_steps=16, **kwargs))
+    assert len(chunks) > 1
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), offline)
+
+
+def test_batched_voice_clone_matches_single(tiny_gen):
+    """Batched voice-clone: each prompted stream of the batch must reproduce
+    its single-stream prompted run exactly — including mixed prompt lengths
+    and an unprompted stream in the same batch."""
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, 1024, (12, 9)).astype(np.int32),
+        None,
+        rng.integers(0, 1024, (25, 9)).astype(np.int32),
+    ]
+    prompt_texts = ["[S1] twelve frames", None, "[S2] twenty five frames"]
+    texts = ["[S2] first", "[S1] second", "[S1] third"]
+
+    singles = [
+        tiny_gen.generate_tokens(
+            t, max_tokens=72, temperature=0.0,
+            audio_prompt_codes=p, audio_prompt_text=pt,
+        )
+        for t, p, pt in zip(texts, prompts, prompt_texts)
+    ]
+    batched = tiny_gen.generate_tokens_batch(
+        texts, max_tokens=72, temperature=0.0,
+        audio_prompt_codes=prompts, audio_prompt_texts=prompt_texts,
+    )
+    assert len(batched) == 3
+    for i, (s, b) in enumerate(zip(singles, batched)):
+        np.testing.assert_array_equal(b, s, err_msg=f"stream {i}")
+
+
+def test_batched_prompt_requires_text(tiny_gen):
+    with pytest.raises(ValueError):
+        tiny_gen.generate_tokens_batch(
+            ["[S1] x"], audio_prompt_codes=[np.zeros((4, 9), np.int32)],
+            audio_prompt_texts=[None],
+        )

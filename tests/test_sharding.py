@@ -103,6 +103,55 @@ def test_sharded_loss_matches_single_device():
     np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
 
 
+def test_generate_fused_cache_sharded_in_compiled_hlo():
+    """The KV caches must stay model-axis-sharded INSIDE the compiled decode
+    loop (VERDICT r1: `self_cache_spec` was defined but never applied, so the
+    cache was replicated).  Inspect the post-SPMD HLO: per-shard cache shapes
+    present, TP all-reduces present, and no collective ever materializes the
+    full-size cache."""
+    from dia_tts_prune_tpu.generate import generate_fused
+    from dia_tts_prune_tpu.tokenizer import encode_cfg_batch
+
+    cfg = _tp_config()
+    d = cfg.data
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+
+    enc_input = encode_cfg_batch("[S1] hlo check", d.text_length, d.text_pad_value)
+    tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
+    tokens_buf[0] = d.audio_bos_value
+    int_args = np.asarray([1, 40, 0], np.int32)
+    float_args = np.asarray([3.0, 0.0, 0.95], np.float32)
+
+    with mesh:
+        lowered = generate_fused.lower(
+            sp, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
+            jnp.asarray(int_args), jnp.asarray(float_args),
+            prefill_window=None, greedy=True, cfg_filter_top_k=35,
+            compute_dtype_name="float32",
+        )
+        hlo = lowered.compile().as_text()
+
+    L, B, T = 2, 2, d.audio_length
+    kvh, hd = cfg.model.decoder.kv_heads, cfg.model.decoder.gqa_head_dim
+    # self cache [L,B,T,4,16] sharded 4-way on heads → per-shard [L,B,T,1,16]
+    shard_shape = f"f32[{L},{B},{T},{kvh // 4},{hd}]"
+    full_shape = f"f32[{L},{B},{T},{kvh},{hd}]"
+    assert shard_shape in hlo, f"per-shard cache shape {shard_shape} not in compiled HLO"
+    assert full_shape not in hlo, "full-size (replicated) cache found in compiled HLO"
+
+    n_all_reduce = hlo.count("all-reduce")
+    n_all_gather = hlo.count("all-gather")
+    assert n_all_reduce > 0, "TP psum all-reduces missing from compiled HLO"
+    # no collective may carry a full-cache-sized operand (cache stays local)
+    import re
+    for op in ("all-gather", "all-reduce", "collective-permute"):
+        for line in hlo.splitlines():
+            if f" {op}(" in line or line.lstrip().startswith(op):
+                assert full_shape not in line, f"{op} moves the full cache: {line[:160]}"
+
+
 def test_sharded_generation_matches_single_device():
     """TP-sharded greedy generation must produce the same tokens."""
     from dia_tts_prune_tpu.generate import DiaGenerator
