@@ -79,12 +79,33 @@ def _resolve_seed(seed: int | None) -> int:
     return int(seed)
 
 
-def _decode_step_fn():
-    """unroll (default): per-layer in-place cache writes, measured fastest;
-    scan: one layer trace (L× faster compiles) — env-gated for A/B."""
+def _decode_step_fn(params=None):
+    """Pick the decode-step implementation for these params.
+
+    bf16 weights → unrolled layers (measured fastest: 3.61 vs 3.81 ms/step,
+    tools/profile_step_ab.py).  Packed-int8 weights → scan-over-layers: XLA
+    only fuses the int8→bf16 convert into the dot's operand load inside the
+    layer scan (2.88 ms/step); unrolled, the converts materialize and int8
+    LOSES (4.64 ms/step).  ``DIA_DECODE_IMPL=scan|unroll`` overrides."""
     import os
 
-    return decode_step_scan if os.environ.get("DIA_DECODE_IMPL") == "scan" else decode_step
+    mode = os.environ.get("DIA_DECODE_IMPL")
+    if mode == "scan":
+        return decode_step_scan
+    if mode == "unroll":
+        return decode_step
+    if params is not None and _params_are_packed_int8(params):
+        return decode_step_scan
+    return decode_step
+
+
+def _params_are_packed_int8(params) -> bool:
+    """True if the decoder's dense kernels are stored packed (int8 + scales)."""
+    try:
+        k = params["decoder"]["layers"]["mlp"]["wo"]["kernel"]
+    except (KeyError, TypeError):
+        return False
+    return type(k).__name__ == "QuantizedKernel"
 
 
 @dataclass(frozen=True)
@@ -116,7 +137,7 @@ def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
         prev = jax.lax.dynamic_slice(s.tokens, (t - 1, 0), (1, d.channels))  # [1, C]
         tgt = jnp.broadcast_to(prev[None], (CFG_BATCH, 1, d.channels))
         position = jnp.full((CFG_BATCH, 1), t, dtype=jnp.int32)
-        logits, new_cache = _decode_step_fn()(
+        logits, new_cache = _decode_step_fn(params)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
         )  # [2, 1, C, V]
@@ -440,7 +461,7 @@ def generate_fused_batch(
         )  # [N, 1, C]
         tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
         position = (t - valid_from2)[:, None]  # [2N, 1] row-local RoPE positions
-        logits, new_cache = _decode_step_fn()(
+        logits, new_cache = _decode_step_fn(params)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
             valid_from=valid_from2,

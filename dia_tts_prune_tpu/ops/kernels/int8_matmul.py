@@ -80,6 +80,22 @@ def int8_matmul_xla(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array
     return (acc.astype(jnp.float32) * sx * scale[None, :]).astype(x.dtype)
 
 
+def int8_matmul_upcast(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Weight-only int8: upcast the int8 kernel to the activation dtype
+    INSIDE the dot — XLA fuses the convert into the contraction's operand
+    load, so HBM streams int8 bytes while the MXU runs bf16 math.
+
+    Measured on v5e (tools/microbench_decode.py, 18-layer GEMV chain):
+    0.835 ms/step vs 1.629 bf16 (723 GB/s effective at int8 bytes) — the
+    convert is free, the bandwidth halving is real.  Beats the s8×s8
+    dynamic path (0.895 ms/step) AND avoids activation-quantization error:
+    activations stay bf16 end-to-end, only weights are quantized.
+    """
+    w = w_q.astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (y * scale[None, :]).astype(x.dtype)
+
+
 def int8_matmul_reference(x, w_q, scale):
     """Dequantize-then-dot (numerics reference)."""
     w = w_q.astype(jnp.float32) * scale[None, :]

@@ -81,13 +81,20 @@ def _dense_general_q(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
     scale = jnp.broadcast_to(qk.scale, (1,) * n_in + out_shape).reshape(N)
     import os as _os
 
-    mode = _os.environ.get("DIA_INT8_IMPL", "xla")
+    mode = _os.environ.get("DIA_INT8_IMPL", "upcast")
     if _use_pallas_int8() and x2.shape[0] <= 64 and mode == "pallas":
-        # hand-rolled streaming kernel (kept for tuning; XLA's s8 dot
-        # currently pipelines better)
+        # hand-rolled streaming kernel (kept for tuning; XLA's fused-convert
+        # dot pipelines better)
         from .kernels.int8_matmul import int8_matmul
 
         y = int8_matmul(x2, w2, scale)
+    elif mode == "upcast":
+        # default: weight-only int8, convert fused into the dot's operand
+        # load — int8 HBM bytes, bf16 MXU math, no activation quantization
+        # (measured fastest: tools/microbench_decode.py / docs/PERF.md)
+        from .kernels.int8_matmul import int8_matmul_upcast
+
+        y = int8_matmul_upcast(x2, w2, scale)
     elif _use_pallas_int8() and mode != "dequant":
         # XLA-native dynamic int8: s8×s8 MXU contraction, int8 weight bytes
         from .kernels.int8_matmul import int8_matmul_xla

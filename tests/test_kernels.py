@@ -72,6 +72,30 @@ def test_int8_matmul_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+def test_int8_matmul_upcast_matches_reference():
+    """The weight-only upcast path (int8 bytes in HBM, compute-dtype math) is
+    mathematically dequantize-then-dot — must match the reference closely."""
+    from dia_tts_prune_tpu.ops.kernels.int8_matmul import (
+        int8_matmul_reference,
+        int8_matmul_upcast,
+    )
+
+    rng = np.random.default_rng(7)
+    B, K, N = 2, 256, 640
+    w = jnp.asarray(rng.integers(-127, 128, (K, N)).astype(np.int8))
+    s = jnp.asarray(rng.uniform(0.001, 0.01, N).astype(np.float32))
+    x32 = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(int8_matmul_upcast(x32, w, s)),
+        np.asarray(int8_matmul_reference(x32, w, s)),
+        rtol=1e-5, atol=1e-5,
+    )
+    xbf = x32.astype(jnp.bfloat16)
+    out = np.asarray(int8_matmul_upcast(xbf, w, s), np.float32)
+    ref = np.asarray(int8_matmul_reference(xbf, w, s), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_int8_quantized_model_generates():
     """Packed int8 params run through the standard generate path (fallback
     dequant matmul on CPU) and produce tokens close to the fake-quant model."""

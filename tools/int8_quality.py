@@ -1,0 +1,122 @@
+"""int8 vs bf16 quality delta on the real generation path.
+
+Measures what int8 weight quantization does to generated tokens at 1.6B
+scale: greedy (temperature 0) decode from the same seed/text under bf16
+and packed-int8 weights, reporting token agreement and first-divergence
+step.  Autoregressive decode amplifies any logit perturbation — once one
+token differs the sequences decouple — so we report BOTH the raw token
+agreement and the first divergence step, plus a teacher-forced logit
+comparison that isolates per-step numeric error from trajectory drift.
+
+Run (TPU):  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python tools/int8_quality.py
+CPU smoke:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/int8_quality.py --tiny
+
+Counterpart of the reference's (no-op) dynamic quantization switch
+(/root/reference/app.py:51-63, quirk Q7) — here the quantization is real,
+so the quality cost must be measured, not assumed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import init_params
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
+    steps = min(args.steps, config.data.audio_length - 32)
+    dtype = jnp.bfloat16
+    params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
+    params_q = quantize_params_int8_packed(params)
+
+    text = "[S1] Quality comparison of int8 and bfloat16 weights. [S2] Same seed, greedy decode."
+    max_tokens = steps + config.data.max_delay + 2
+
+    gen_bf = DiaGenerator(params, config, "bfloat16")
+    gen_q = DiaGenerator(params_q, config, "bfloat16")
+
+    out_bf = np.asarray(gen_bf.generate_tokens(
+        text, max_tokens=max_tokens, temperature=0.0, seed=args.seed,
+        cache_len=max_tokens))
+    out_q = np.asarray(gen_q.generate_tokens(
+        text, max_tokens=max_tokens, temperature=0.0, seed=args.seed,
+        cache_len=max_tokens))
+
+    n = min(out_bf.shape[0], out_q.shape[0])
+    eq = out_bf[:n] == out_q[:n]
+    agree = float(eq.mean()) if n else float("nan")
+    row_eq = eq.all(axis=1) if n else np.array([])
+    div = int(np.argmin(row_eq)) if n and not row_eq.all() else None
+
+    # Teacher-forced per-step check: run the full-sequence decoder on the SAME
+    # token sequence under both weight formats and compare per-step argmax —
+    # isolates per-step int8 logit error from autoregressive trajectory drift.
+    from dia_tts_prune_tpu.models.dia import decoder_forward, encoder_forward
+    from dia_tts_prune_tpu.ops.masks import create_attn_mask
+    from dia_tts_prune_tpu.state import cross_attention_mask
+    from dia_tts_prune_tpu.tokenizer import encode_text
+
+    d = config.data
+    tf_n = min(max(n, 16), 64)
+    rng = np.random.default_rng(args.seed)
+    tgt = jnp.asarray(rng.integers(0, d.audio_eos_value, (1, tf_n, d.channels), dtype=np.int32))
+    ids = jnp.asarray(encode_text(text, config.data.text_length)[None])
+    enc_padding = ids != d.text_pad_value
+    enc_mask = create_attn_mask(enc_padding, enc_padding, is_causal=False)
+    pos = jnp.arange(ids.shape[1], dtype=jnp.int32)[None]
+    dpos = jnp.arange(tf_n, dtype=jnp.int32)[None]
+
+    def tf_logits(pp):
+        enc_out = encoder_forward(pp, config, ids, pos, enc_mask, jnp.bfloat16)
+        return decoder_forward(pp, config, tgt, enc_out, pos, dpos, None,
+                               cross_attention_mask(enc_padding), jnp.bfloat16,
+                               enc_padding_mask=enc_padding)
+
+    logits_bf = np.asarray(tf_logits(params), np.float32)
+    logits_q = np.asarray(tf_logits(params_q), np.float32)
+    am_bf = np.argmax(logits_bf, axis=-1)
+    am_q = np.argmax(logits_q, axis=-1)
+    tf_agree = float((am_bf == am_q).mean())
+    rel = np.abs(logits_q - logits_bf)
+    scale = np.abs(logits_bf).mean() + 1e-9
+
+    print(json.dumps({
+        "metric": "int8_quality_vs_bf16",
+        "greedy_token_agreement": round(agree, 4),
+        "first_divergence_step": div,
+        "rows_compared": int(n),
+        "teacher_forced_argmax_agreement": round(tf_agree, 4),
+        "teacher_forced_mean_abs_logit_delta_rel": round(float(rel.mean() / scale), 5),
+        "weights": "random",
+    }))
+
+
+if __name__ == "__main__":
+    main()
