@@ -388,9 +388,11 @@ class Dia:
     def quantize_int8(self) -> None:
         """Swap dense kernels to packed int8 (values + per-channel scales).
 
-        The decode path then runs through the int8 Pallas matmul on TPU —
-        roughly halving per-token HBM traffic.  Real quantization, unlike the
-        reference's no-op dynamic quant (app.py:51-63, quirk Q7)."""
+        The decode path then streams int8 weight bytes (convert fused into
+        the dot's operand load; scan-over-layers step auto-selected) —
+        roughly halving per-token HBM traffic, measured +32% tokens/s
+        (docs/PERF.md).  Real quantization, unlike the reference's no-op
+        dynamic quant (app.py:51-63, quirk Q7)."""
         from .ops.quant import quantize_params_int8_packed
 
         self.params = quantize_params_int8_packed(self.params)

@@ -67,18 +67,25 @@ def _use_pallas_int8() -> bool:
 
 def _dense_general_q(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
     """int8-kernel contraction. Trailing contraction axes only (all call
-    sites contract trailing axes)."""
+    sites contract trailing axes).
+
+    ``qk.values`` is ALREADY 2-D [K, N] (ops/quant.py packs kernels
+    pre-flattened) — consuming it without any reshape is what lets XLA fuse
+    the int8→compute-dtype convert into the dot's HBM operand read instead
+    of staging the slice through VMEM (tools/trace_decode.py evidence)."""
     import math as _math
 
     n_in = len(axis)
-    in_shape = qk.values.shape[:n_in]
-    out_shape = qk.values.shape[n_in:]
-    K = _math.prod(in_shape)
-    N = _math.prod(out_shape)
+    if n_in != len(qk.in_shape):
+        raise ValueError(
+            f"kernel packed for {len(qk.in_shape)} contraction axes, called with {n_in}")
+    K = _math.prod(qk.in_shape)
+    N = _math.prod(qk.out_shape)
+    out_shape = qk.out_shape
     lead = x.shape[: x.ndim - n_in]
     x2 = x.reshape(-1, K)
-    w2 = qk.values.reshape(K, N)
-    scale = jnp.broadcast_to(qk.scale, (1,) * n_in + out_shape).reshape(N)
+    w2 = qk.values
+    scale = qk.scale.reshape(N)
     import os as _os
 
     mode = _os.environ.get("DIA_INT8_IMPL", "upcast")

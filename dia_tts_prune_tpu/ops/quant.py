@@ -10,13 +10,23 @@ int8 quantization of the dense-kernel population:
   jitted path runs unchanged.  This is the quality-equivalent of dynamic int8
   quantization for serving.
 * ``quantize_params_int8_packed(params)`` — kernels stored as (int8 values,
-  fp32 scales) for the bandwidth-saving int8 compute path (Pallas int8
-  matmul kernels consume this layout).
+  fp32 scales) for the bandwidth-saving int8 compute path.
+
+Packed layout (perf-critical): values are stored PRE-FLATTENED to 2-D
+``[K, N]`` (``[L, K, N]`` for stacked per-layer trees), K = contracted dims,
+N = output columns, with the logical kernel dims kept as static metadata.
+XLA only fuses the int8→bf16 convert into the dot's HBM operand read when
+the weight is a plain 2-D slice; the model's logical 3-/4-D kernel shapes
+(``[D,2,F]``, ``[D,N,H]``) make XLA pick a non-streamable layout and stage
+each slice through VMEM with a separate layout-munging copy — measured
++0.5 ms/step on the 18-layer decode (hlo_stats via tools/trace_decode.py:
+the ``wi_fused`` slice copy alone was 28% of step time).
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -24,29 +34,64 @@ import jax.numpy as jnp
 Params = dict[str, Any]
 
 
-class QuantizedKernel(NamedTuple):
-    values: jax.Array  # int8, original kernel shape
-    scale: jax.Array  # fp32, broadcastable per-output-channel scales
+@jax.tree_util.register_pytree_node_class
+class QuantizedKernel:
+    """Packed int8 dense kernel: 2-D values + per-output-column scales.
+
+    values: int8 ``[K, N]`` (``[L, K, N]`` inside stacked per-layer trees —
+    scan/vmap slicing strips the leading axis, the static metadata survives).
+    scale: f32 ``[1, N]`` (``[L, 1, N]`` stacked).
+    in_shape/out_shape: the kernel's logical contracted/output dims
+    (``K = prod(in_shape)``, ``N = prod(out_shape)``); static aux data, so
+    jit caches key on them.
+    """
+
+    __slots__ = ("values", "scale", "in_shape", "out_shape")
+
+    def __init__(self, values, scale, in_shape, out_shape):
+        self.values = values
+        self.scale = scale
+        self.in_shape = tuple(in_shape)
+        self.out_shape = tuple(out_shape)
+
+    def tree_flatten(self):
+        return (self.values, self.scale), (self.in_shape, self.out_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    def __repr__(self):
+        return (f"QuantizedKernel(values={getattr(self.values, 'shape', None)}, "
+                f"in_shape={self.in_shape}, out_shape={self.out_shape})")
 
 
-def quantize_int8(
-    w: jax.Array, channel_axis: int = -1, preserve_axes: tuple[int, ...] = ()
-) -> QuantizedKernel:
-    """Symmetric per-channel int8: q = round(w / s), s = max|w| / 127.
+def quantize_int8(w: jax.Array, n_in: int = 1, stacked: bool = False) -> QuantizedKernel:
+    """Symmetric per-output-column int8: q = round(w / s), s = max|w| / 127.
 
-    ``preserve_axes`` keeps additional axes in the scale (e.g. the stacked
-    layer axis, so scanned layer pytrees keep a leading ``L`` on every leaf
-    and each layer gets its own scales)."""
-    keep = {channel_axis % w.ndim} | {a % w.ndim for a in preserve_axes}
-    axes = tuple(a for a in range(w.ndim) if a not in keep)
-    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axes, keepdims=True)
+    ``n_in`` — number of leading (contracted) kernel axes; the rest are
+    output axes, flattened into N columns with one scale each.  ``stacked``
+    — the kernel carries a leading per-layer L axis (kept on values and
+    scales so scanned layer pytrees stay uniform; each layer gets its own
+    scales).
+    """
+    lead = w.shape[:1] if stacked else ()
+    in_shape = w.shape[len(lead): len(lead) + n_in]
+    out_shape = w.shape[len(lead) + n_in:]
+    K = math.prod(in_shape)
+    N = math.prod(out_shape)
+    w2 = w.astype(jnp.float32).reshape(*lead, K, N)
+    absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)  # [*, 1, N]
     scale = jnp.maximum(absmax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return QuantizedKernel(values=q, scale=scale)
+    q = jnp.clip(jnp.round(w2 / scale), -127, 127).astype(jnp.int8)
+    return QuantizedKernel(values=q, scale=scale, in_shape=in_shape, out_shape=out_shape)
 
 
 def dequantize(qk: QuantizedKernel, dtype=jnp.float32) -> jax.Array:
-    return (qk.values.astype(jnp.float32) * qk.scale).astype(dtype)
+    """Reconstruct the kernel at its logical shape."""
+    w2 = qk.values.astype(jnp.float32) * qk.scale
+    lead = w2.shape[:-2] if w2.ndim > 2 else ()
+    return w2.reshape(*lead, *qk.in_shape, *qk.out_shape).astype(dtype)
 
 
 def _map_kernels(params: Params, fn) -> Params:
@@ -64,27 +109,39 @@ def _map_kernels(params: Params, fn) -> Params:
     return walk(params, ())
 
 
-def _preserve_for(path: tuple[str, ...]) -> tuple[int, ...]:
-    # stacked per-layer kernels carry a leading L axis that scan requires on
-    # every leaf — keep it in the scale (per-layer scales are also better)
-    return (0,) if "layers" in path else ()
+def _quant_args_for(path: tuple[str, ...]) -> dict:
+    """Kernel-layout metadata by tree position: ``o_proj`` kernels contract
+    two axes ([N, H, D], dense_general axis=(-2,-1)); everything else one.
+    Kernels under a ``layers`` node are per-layer-stacked (leading L axis)."""
+    return {"n_in": 2 if "o_proj" in path else 1, "stacked": "layers" in path}
 
 
 def quantize_params_int8(params: Params) -> Params:
     """Fake-quantize every dense kernel (int8 precision, original dtype)."""
 
     def fq(w, path):
-        return dequantize(quantize_int8(w, preserve_axes=_preserve_for(path)), dtype=w.dtype)
+        return dequantize(quantize_int8(w, **_quant_args_for(path)), dtype=w.dtype)
 
     return _map_kernels(params, fq)
 
 
-def quantize_params_int8_packed(params: Params) -> Params:
-    """Pack every dense kernel as a QuantizedKernel (int8 + scales)."""
+def quantize_params_int8_packed(params: Params, scope: str | None = "decoder") -> Params:
+    """Pack dense kernels as QuantizedKernels (int8 + scales).
+
+    ``scope`` limits packing to one top-level subtree — default ``"decoder"``:
+    the decode loop streams decoder weights every step (bandwidth-bound GEMV,
+    int8 halves the bytes), while the encoder runs ONCE per generate call as
+    a compute-bound GEMM where the int8 2-D layout measured slower
+    (time-to-first-audio 0.21→0.84 s when the encoder was packed too).
+    Pass ``scope=None`` to pack the whole tree (memory-at-rest)."""
 
     def pk(w, path):
-        return quantize_int8(w, preserve_axes=_preserve_for(path))
+        return quantize_int8(w, **_quant_args_for(path))
 
+    if scope is not None and scope in params:
+        out = dict(params)
+        out[scope] = _map_kernels(params[scope], lambda w, p: pk(w, (scope,) + p))
+        return out
     return _map_kernels(params, pk)
 
 

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--hi", type=int, default=256)
     p.add_argument("--cache-len", type=int, default=1024)
     p.add_argument("--cross-len", type=int, default=128)
+    p.add_argument("--only", type=str, default=None,
+                   help="run a single variant, e.g. int8/scan (for HLO profiling)")
     args = p.parse_args()
 
     from dia_tts_prune_tpu.config import dia_1_6b_config
@@ -76,12 +78,15 @@ def main():
         return run
 
     results = {}
-    for name, step_fn, pp in (
+    variants = (
         ("bf16/unroll", decode_step, params),
         ("int8/unroll", decode_step, params_q),
         ("bf16/scan", decode_step_scan, params),
         ("int8/scan", decode_step_scan, params_q),
-    ):
+    )
+    if args.only:
+        variants = tuple(v for v in variants if v[0] == args.only)
+    for name, step_fn, pp in variants:
         times = {}
         for steps in (args.lo, args.hi):
             run = make(step_fn, steps)
