@@ -44,6 +44,7 @@ from .config import DiaConfig
 from .models.dia import (
     KVCache,
     decode_step,
+    decode_step_fused,
     decode_step_scan,
     decoder_prefill,
     encoder_forward,
@@ -79,14 +80,17 @@ def _resolve_seed(seed: int | None) -> int:
     return int(seed)
 
 
-def _decode_step_fn(params=None):
+def _decode_step_fn(params=None, batch: bool = False):
     """Pick the decode-step implementation for these params.
 
     bf16 weights → unrolled layers (measured fastest: 3.61 vs 3.81 ms/step,
     tools/profile_step_ab.py).  Packed-int8 weights → scan-over-layers: XLA
     only fuses the int8→bf16 convert into the dot's operand load inside the
     layer scan (2.88 ms/step); unrolled, the converts materialize and int8
-    LOSES (4.64 ms/step).  ``DIA_DECODE_IMPL=scan|unroll`` overrides."""
+    LOSES (4.64 ms/step).  Packed int8 WITH a fused pack, on the
+    single-stream path, on a real TPU → the whole-stack Pallas kernel
+    (ops/kernels/fused_step.py).  ``DIA_DECODE_IMPL=scan|unroll|fused``
+    overrides."""
     import os
 
     mode = os.environ.get("DIA_DECODE_IMPL")
@@ -94,7 +98,21 @@ def _decode_step_fn(params=None):
         return decode_step_scan
     if mode == "unroll":
         return decode_step
+    if mode == "fused":
+        return decode_step_fused
     if params is not None and _params_are_packed_int8(params):
+        if (
+            not batch
+            and "fused_pack" in params.get("decoder", {})
+            and os.environ.get("DIA_FUSED") == "1"  # opt-in: measured 2.55 vs
+            # 2.17 ms/step for the XLA scan path so far (docs/PERF.md) —
+            # becomes the default if/when it wins
+            and (
+                jax.default_backend() in ("tpu", "axon")
+                or os.environ.get("DIA_FUSED_INTERPRET") == "1"
+            )
+        ):
+            return decode_step_fused
         return decode_step_scan
     return decode_step
 
@@ -461,7 +479,7 @@ def generate_fused_batch(
         )  # [N, 1, C]
         tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
         position = (t - valid_from2)[:, None]  # [2N, 1] row-local RoPE positions
-        logits, new_cache = _decode_step_fn(params)(
+        logits, new_cache = _decode_step_fn(params, batch=True)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
             valid_from=valid_from2,

@@ -566,5 +566,56 @@ def decode_step_scan(
     return logits, new_cache
 
 
+def decode_step_fused(
+    params: Params,
+    config: DiaConfig,
+    tgt_Bx1xC: jax.Array,  # [B, 1, C]
+    position: jax.Array,  # [B, 1] (all rows equal on this path)
+    write_slot: jax.Array,  # scalar int32
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_attn_mask: jax.Array,  # bool [B, 1, 1, S]
+    compute_dtype=jnp.float32,
+    valid_from: jax.Array | None = None,
+) -> tuple[jax.Array, KVCache]:
+    """``decode_step_scan`` semantics via the single-Pallas-call fused kernel.
+
+    The whole 18-layer stack runs as ONE kernel (grid over layers×phases,
+    int8 weights double-buffered through VMEM, norm gains folded at repack) —
+    see ops/kernels/fused_step.py.  Requires ``params["decoder"]["fused_pack"]``
+    (built by ``ops.quant.quantize_params_int8_packed``); only the
+    single-stream CFG path is eligible (B=2, no ``valid_from``)."""
+    import os
+
+    from ..ops.kernels.fused_step import fused_decode_step
+
+    assert valid_from is None, "fused step does not support batched voice-clone"
+    m = config.model
+    pack = params["decoder"]["fused_pack"]
+    x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
+    interpret = os.environ.get("DIA_FUSED_INTERPRET") == "1"
+    x_out, ks, vs = fused_decode_step(
+        pack, x[:, 0], position[0, 0], write_slot.astype(jnp.int32),
+        self_cache.k, self_cache.v, cross_cache.k, cross_cache.v,
+        cross_attn_mask[:, 0, 0, :],
+        eps=m.normalization_layer_epsilon,
+        rope_min=m.rope_min_timescale, rope_max=m.rope_max_timescale,
+        interpret=interpret,
+    )
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            self_cache.k, ks[:, :, None].astype(self_cache.k.dtype),
+            (0, 0, write_slot.astype(jnp.int32), 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            self_cache.v, vs[:, :, None].astype(self_cache.v.dtype),
+            (0, 0, write_slot.astype(jnp.int32), 0, 0)),
+    )
+    h = rms_norm(x_out[:, None].astype(compute_dtype),
+                 params["decoder"]["norm"]["scale"],
+                 m.normalization_layer_epsilon)
+    logits = dense_general(h, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
+    return logits, new_cache
+
+
 def param_count(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,527 @@
+"""Fused whole-decoder-step Pallas kernel (int8 weights, single query token).
+
+The decode step is bandwidth-bound: ~1.26 GB of int8 weights stream from HBM
+per token.  The XLA scan-over-layers path runs each dot as its own fusion at
+570–690 GB/s with a ~200 µs small-op tail (hlo_stats via
+tools/trace_decode.py); this kernel runs the ENTIRE 18-layer stack as ONE
+``pallas_call`` — grid ``(L, phases)``, weights double-buffered through VMEM
+by the Pallas pipeline, activations carried in VMEM scratch across phases —
+so the weight stream never stalls between ops.
+
+Replaces: the per-token decoder stack of the reference
+(/root/reference/dia/layers.py:671-720), redesigned for TPU as a single
+streaming kernel instead of 100+ separate CUDA kernel launches.
+
+Weight repack (``repack_decoder_fused``, from UNQUANTIZED params):
+* RMSNorm gains are FOLDED into the following projection's rows
+  (``rms(x)*g @ W == rms(x) @ diag(g)W``) — removes the per-layer gain
+  fetches and multiplies entirely.
+* q/k/v are merged into one ``[D, (Nq+2*Nkv)*H]`` matrix (one dot).
+* ``wi_fused [D,2,F]`` is split into gate/up ``[D,F]`` halves so the MLP can
+  be tiled over F with silu·gate fused per tile.
+* Everything is then quantized symmetric per-output-column int8 (same scheme
+  as ops/quant.py).
+
+Phases per layer (MT = MLP tiles):
+  p0: folded-norm → qkv dot → RoPE(q,k) → cached GQA self-attention
+      (prefix < write_slot, plus current token) → o_proj → residual;
+      emits this layer's k/v to the outputs.
+  p1: folded-norm → cq dot → RoPE → cross-attention (masked) → co_proj →
+      residual.
+  p2..p1+MT: folded-norm (cached once) → gate/up tile dots → silu·gate →
+      immediately contract with the matching wo K-tile → accumulate;
+      last tile adds the residual.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = dict[str, Any]
+
+MLP_TILES = 4  # F split for VMEM budget: 8192/4 = 2048-column tiles
+NEG = -1e30  # python float: jnp constants would be captured consts in the kernel
+
+
+class FusedPack(NamedTuple):
+    """Decoder weights repacked for the fused step kernel (all stacked [L,...])."""
+
+    wqkv: jax.Array   # s8 [L, D, (Nq+2Nkv)H], pre_sa_norm folded
+    sqkv: jax.Array   # f32 [L, 1, (Nq+2Nkv)H]
+    wo: jax.Array     # s8 [L, NqH, D]
+    so: jax.Array     # f32 [L, 1, D]
+    wcq: jax.Array    # s8 [L, D, NcqH], pre_ca_norm folded
+    scq: jax.Array    # f32 [L, 1, NcqH]
+    wco: jax.Array    # s8 [L, NcqH, D]
+    sco: jax.Array    # f32 [L, 1, D]
+    wg: jax.Array     # s8 [L, D, F], pre_mlp_norm folded (gate)
+    sg: jax.Array     # f32 [L, 1, F]
+    wu: jax.Array     # s8 [L, D, F], pre_mlp_norm folded (up)
+    su: jax.Array     # f32 [L, 1, F]
+    wm: jax.Array     # s8 [L, F, D] (mlp out)
+    sm: jax.Array     # f32 [L, 1, D]
+    jq: jax.Array     # bf16 [NqH, NqH] RoPE half-swap permutation (also cq)
+    jk: jax.Array     # bf16 [NkvH, NkvH]
+
+
+def _rope_swap_matrix(NH: int, H: int) -> jax.Array:
+    """Permutation matrix P with (x @ P)[j] = x[partner(j)], partner = the
+    other RoPE half within the same head.  Mosaic can't lower the 64-lane
+    reshape/shuffle the swap needs, but a [NH, NH] constant matmul is a
+    trivial MXU op and the matrix lives in VMEM once (constant block index)."""
+    import numpy as np
+
+    half = H // 2
+    idx = np.arange(NH)
+    d = idx % H
+    p = np.where(d < half, idx + half, idx - half)
+    m = np.zeros((NH, NH), np.float32)
+    m[p, idx] = 1.0
+    return jnp.asarray(m, jnp.bfloat16)
+
+
+def _q8(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-column symmetric int8 over a stacked [L, K, N] matrix."""
+    absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w2 / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def repack_decoder_fused(params: Params) -> FusedPack:
+    """Build the fused-kernel weight pack from UNQUANTIZED decoder params.
+
+    Norm gains are folded in fp32 BEFORE quantization, so the fold costs no
+    extra quantization error."""
+    layers = params["decoder"]["layers"]
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+
+    g_sa = f32(layers["pre_sa_norm"]["scale"])    # [L, D]
+    g_ca = f32(layers["pre_ca_norm"]["scale"])    # [L, D]
+    g_mlp = f32(layers["pre_mlp_norm"]["scale"])  # [L, D]
+
+    sa = layers["self_attention"]
+    L, D = g_sa.shape
+    wq = f32(sa["q_proj"]["kernel"]).reshape(L, D, -1)   # [L, D, NqH]
+    wk = f32(sa["k_proj"]["kernel"]).reshape(L, D, -1)   # [L, D, NkvH]
+    wv = f32(sa["v_proj"]["kernel"]).reshape(L, D, -1)
+    wqkv = jnp.concatenate([wq, wk, wv], axis=-1) * g_sa[:, :, None]
+    wo = f32(sa["o_proj"]["kernel"]).reshape(L, -1, D)   # [L, NqH, D]
+
+    ca = layers["cross_attention"]
+    wcq = f32(ca["q_proj"]["kernel"]).reshape(L, D, -1) * g_ca[:, :, None]
+    wco = f32(ca["o_proj"]["kernel"]).reshape(L, -1, D)
+
+    wi = f32(layers["mlp"]["wi_fused"]["kernel"])        # [L, D, 2, F]
+    wg = wi[:, :, 0, :] * g_mlp[:, :, None]
+    wu = wi[:, :, 1, :] * g_mlp[:, :, None]
+    wm = f32(layers["mlp"]["wo"]["kernel"])              # [L, F, D]
+
+    NqH = wq.shape[-1]
+    NkvH = wk.shape[-1]
+    NcqH = wcq.shape[-1]
+    H = sa["q_proj"]["kernel"].shape[-1]
+    assert NcqH == NqH, "fused kernel shares the q RoPE swap matrix with cq"
+
+    qs = [_q8(w) for w in (wqkv, wo, wcq, wco, wg, wu, wm)]
+    return FusedPack(
+        wqkv=qs[0][0], sqkv=qs[0][1], wo=qs[1][0], so=qs[1][1],
+        wcq=qs[2][0], scq=qs[2][1], wco=qs[3][0], sco=qs[3][1],
+        wg=qs[4][0], sg=qs[4][1], wu=qs[5][0], su=qs[5][1],
+        wm=qs[6][0], sm=qs[6][1],
+        jq=_rope_swap_matrix(NqH, H), jk=_rope_swap_matrix(NkvH, H),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared math (used by both the kernel body and the pure-JAX reference)
+# ---------------------------------------------------------------------------
+
+
+def _rms_nogain(x32: jax.Array, eps: float) -> jax.Array:
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return x32 * jax.lax.rsqrt(var + eps)
+
+
+def _rope_trig(B: int, NH: int, H: int, position, min_ts: float, max_ts: float):
+    """cos and SIGNED sin vectors for head-flattened RoPE.
+
+    Lane l belongs to head l//H at in-head index d = l%H; frequency index
+    i = d % (H/2); the first half (d < H/2) carries -sin, the second +sin."""
+    half = H // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, NH), 1)
+    d = lane % H
+    i = (d % half).astype(jnp.float32)
+    fraction = (2.0 * i) / H
+    inv_freq = 1.0 / (min_ts * (max_ts / min_ts) ** fraction)
+    theta = position.astype(jnp.float32) * inv_freq
+    sin = jnp.sin(theta)
+    return jnp.cos(theta), jnp.where(d < half, -sin, sin)
+
+
+def _rope_flat(x32: jax.Array, position, H: int, min_ts: float, max_ts: float):
+    """Split-half RoPE on a head-flattened [B, N*H] fp32 array (reference
+    path: explicit half-swap; equivalent to ops.modules.rope on [B, N, H])."""
+    B, NH = x32.shape
+    cos, ssin = _rope_trig(B, NH, H, position, min_ts, max_ts)
+    xm = x32.reshape(B, NH // H, 2, H // 2)
+    partner = jnp.concatenate([xm[:, :, 1:2], xm[:, :, 0:1]], axis=2).reshape(B, NH)
+    return x32 * cos + partner * ssin
+
+
+def _rope_mat(x32: jax.Array, jmat, position, H: int, min_ts: float, max_ts: float):
+    """RoPE with the half-swap done as a permutation-matrix matmul (kernel
+    path — Mosaic can't lower sub-128-lane reshapes/shuffles)."""
+    B, NH = x32.shape
+    cos, ssin = _rope_trig(B, NH, H, position, min_ts, max_ts)
+    partner = jax.lax.dot_general(
+        x32.astype(jnp.bfloat16), jmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return x32 * cos + partner * ssin
+
+
+def _silu(x32):
+    return x32 * jax.nn.sigmoid(x32)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference (numerics oracle for the kernel; also the CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def fused_step_reference(
+    pack: FusedPack,
+    x_emb: jax.Array,       # [B, D] fp32 summed channel embeddings
+    position: jax.Array,    # scalar int32 RoPE position
+    write_slot: jax.Array,  # scalar int32
+    self_k: jax.Array,      # [L, B, T, Nkv, H]
+    self_v: jax.Array,
+    cross_k: jax.Array,     # [L, B, S, Ncq, H]
+    cross_v: jax.Array,
+    cross_mask: jax.Array,  # [B, S] bool
+    eps: float,
+    rope_min: float,
+    rope_max: float,
+):
+    """Layer-scan reference with EXACTLY the kernel's math/dtype order."""
+    L, B, T, Nkv, H = self_k.shape
+    Ncq = cross_k.shape[3]
+    Nq = pack.wo.shape[1] // H
+    G = Nq // Nkv
+    D = x_emb.shape[-1]
+    scale = 1.0 / math.sqrt(H)
+    slot_ids = jnp.arange(T, dtype=jnp.int32)
+    prefix = (slot_ids < write_slot)[None, :]  # [1, T]
+
+    def dot8(xbf, w8, s):
+        y = jnp.dot(xbf, w8.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        return y * s[0]
+
+    def layer(x32, xs):
+        (wqkv, sqkv, wo, so, wcq, scq, wco, sco, wg, sg, wu, su, wm, sm,
+         kc, vc, ck, cv) = xs
+        xn = _rms_nogain(x32, eps).astype(jnp.bfloat16)
+        qkv = dot8(xn, wqkv, sqkv)  # f32 [B, (Nq+2Nkv)H]
+        q = _rope_flat(qkv[:, : Nq * H], position, H, rope_min, rope_max)
+        k_new = _rope_flat(qkv[:, Nq * H: (Nq + Nkv) * H], position, H, rope_min, rope_max)
+        v_new = qkv[:, (Nq + Nkv) * H:]
+
+        qg = q.reshape(B, Nkv, G, H)
+        kn = k_new.reshape(B, Nkv, H)
+        vn = v_new.reshape(B, Nkv, H)
+        # scores vs cache prefix + current token, merged softmax (fp32)
+        s_pre = jnp.einsum("bngh,btnh->bngt", qg, kc.astype(jnp.float32)) * scale
+        s_pre = jnp.where(prefix[:, None, None, :], s_pre, NEG)
+        s_cur = jnp.einsum("bngh,bnh->bng", qg, kn)[..., None] * scale
+        m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+        p_pre = jnp.exp(s_pre - m_all)
+        p_cur = jnp.exp(s_cur - m_all)
+        denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+        acc = jnp.einsum("bngt,btnh->bngh", p_pre, vc.astype(jnp.float32))
+        acc = acc + p_cur * vn[:, :, None, :]
+        sa = (acc / denom).reshape(B, Nq * H).astype(jnp.bfloat16)
+        x32 = x32 + dot8(sa, wo, so)
+
+        xn = _rms_nogain(x32, eps).astype(jnp.bfloat16)
+        cq = _rope_flat(dot8(xn, wcq, scq), position, H, rope_min, rope_max)
+        cqh = cq.reshape(B, Ncq, H)
+        s_c = jnp.einsum("bnh,bsnh->bns", cqh, ck.astype(jnp.float32)) * scale
+        s_c = jnp.where(cross_mask[:, None, :], s_c, NEG)
+        m_c = jnp.max(s_c, -1, keepdims=True)
+        m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+        p_c = jnp.exp(s_c - m_c)
+        ca = jnp.einsum("bns,bsnh->bnh", p_c, cv.astype(jnp.float32))
+        ca = ca / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
+        ca = ca.reshape(B, Ncq * H).astype(jnp.bfloat16)
+        x32 = x32 + dot8(ca, wco, sco)
+
+        xn = _rms_nogain(x32, eps).astype(jnp.bfloat16)
+        F = wg.shape[-1]
+        tile = F // MLP_TILES
+        acc_m = jnp.zeros((B, D), jnp.float32)
+        for t in range(MLP_TILES):
+            sl = slice(t * tile, (t + 1) * tile)
+            g = dot8(xn, wg[:, sl], sg[:, sl])
+            u = dot8(xn, wu[:, sl], su[:, sl])
+            h = (_silu(g) * u).astype(jnp.bfloat16)
+            acc_m = acc_m + dot8(h, wm[sl, :], sm)
+        x32 = x32 + acc_m
+        return x32, (kn.astype(self_k.dtype), vn.astype(self_v.dtype))
+
+    x32, (ks, vs) = jax.lax.scan(
+        layer, x_emb.astype(jnp.float32),
+        (pack.wqkv, pack.sqkv, pack.wo, pack.so, pack.wcq, pack.scq,
+         pack.wco, pack.sco, pack.wg, pack.sg, pack.wu, pack.su,
+         pack.wm, pack.sm, self_k, self_v, cross_k, cross_v),
+    )
+    return x32, ks, vs  # ks/vs: [L, B, Nkv, H]
+
+
+# ---------------------------------------------------------------------------
+# The Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
+            x_ref, mask_ref, jq_ref, jk_ref,
+            wqkv_ref, sqkv_ref, wo_ref, so_ref,
+            wcq_ref, scq_ref, wco_ref, sco_ref,
+            wg_ref, sg_ref, wu_ref, su_ref, wm_ref, sm_ref,
+            kc_ref, vc_ref, ck_ref, cv_ref,
+            xo_ref, kn_ref, vn_ref,
+            x_scr, xn_scr, acc_scr,
+            *, L, B, D, T, S, Nq, Nkv, Ncq, H, F, eps, rope_min, rope_max,
+            mlp_tiles, ablate):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    pos = scalars_ref[0]
+    write_slot = scalars_ref[1]
+    scale = 1.0 / math.sqrt(H)
+    G = Nq // Nkv
+    tile = F // mlp_tiles
+
+    @pl.when((l == 0) & (p == 0))
+    def _init():
+        x_scr[:] = x_ref[:].astype(jnp.float32)
+
+    def dot8(xbf, w8, s):
+        y = jax.lax.dot_general(
+            xbf, w8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y * s
+
+    @pl.when(p == 0)
+    def _self_attn():
+        xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
+        qkv = dot8(xn, wqkv_ref[0], sqkv_ref[0])  # [B, (Nq+2Nkv)H] f32
+        q = _rope_mat(qkv[:, : Nq * H], jq_ref[:], pos, H, rope_min, rope_max)
+        k_new = _rope_mat(qkv[:, Nq * H: (Nq + Nkv) * H], jk_ref[:], pos, H,
+                          rope_min, rope_max)
+        v_new = qkv[:, (Nq + Nkv) * H:]
+        # k/v outputs stay head-flattened [B, Nkv*H]; the wrapper reshapes on
+        # the XLA side (in-kernel lane→sublane reshapes don't lower)
+        kn_ref[0] = k_new.astype(kn_ref.dtype)
+        vn_ref[0] = v_new.astype(vn_ref.dtype)
+
+        if "attn" in ablate:  # perf ablation: weight stream without attention
+            sa = qkv[:, : Nq * H].astype(jnp.bfloat16)
+            x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
+            return
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        valid = t_ids < write_slot  # [1, T]
+        out_rows = []
+        for b in range(B):
+            head_parts = []
+            for h in range(Nq):
+                n = h // G  # kv head for this query head
+                qh = q[b: b + 1, h * H: (h + 1) * H]               # [1, H]
+                kcb = kc_ref[0, b, :, n, :].astype(jnp.float32)    # [T, H]
+                vcb = vc_ref[0, b, :, n, :].astype(jnp.float32)    # [T, H]
+                s_pre = jax.lax.dot_general(
+                    qh, kcb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale    # [1, T]
+                s_pre = jnp.where(valid, s_pre, NEG)
+                knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
+                vnb = v_new[b: b + 1, n * H: (n + 1) * H]
+                s_cur = jnp.sum(qh * knb, -1, keepdims=True) * scale  # [1, 1]
+                m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+                p_pre = jnp.exp(s_pre - m_all)
+                p_cur = jnp.exp(s_cur - m_all)
+                denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                a = jax.lax.dot_general(
+                    p_pre, vcb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)            # [1, H]
+                head_parts.append((a + p_cur * vnb) / denom)
+            out_rows.append(jnp.concatenate(head_parts, axis=1))
+        sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
+        x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
+
+    @pl.when(p == 1)
+    def _cross_attn():
+        xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
+        cq = _rope_mat(dot8(xn, wcq_ref[0], scq_ref[0]), jq_ref[:], pos, H,
+                       rope_min, rope_max)
+        if "cross" in ablate:  # perf ablation: weight stream without attention
+            ca = cq.astype(jnp.bfloat16)
+            x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
+            return
+        mask = mask_ref[:] != 0  # [B, S]
+        out_rows = []
+        for b in range(B):
+            head_parts = []
+            for n in range(Ncq):
+                qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
+                ckb = ck_ref[0, b, :, n, :].astype(jnp.float32)    # [S, H]
+                cvb = cv_ref[0, b, :, n, :].astype(jnp.float32)
+                s_c = jax.lax.dot_general(
+                    qn, ckb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale    # [1, S]
+                s_c = jnp.where(mask[b: b + 1], s_c, NEG)
+                m_c = jnp.max(s_c, -1, keepdims=True)
+                m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+                p_c = jnp.exp(s_c - m_c)                           # [1, S]
+                a = jax.lax.dot_general(
+                    p_c, cvb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)            # [1, H]
+                a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
+                head_parts.append(a)
+            out_rows.append(jnp.concatenate(head_parts, axis=1))
+        ca = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
+        x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
+
+    @pl.when(p >= 2)
+    def _mlp_tile():
+        t = p - 2
+
+        @pl.when(t == 0)
+        def _():
+            xn_scr[:] = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        xn = xn_scr[:]
+        g = dot8(xn, wg_ref[0], sg_ref[0])
+        u = dot8(xn, wu_ref[0], su_ref[0])
+        h = (_silu(g) * u).astype(jnp.bfloat16)
+        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+            h, wm_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(t == mlp_tiles - 1)
+        def _():
+            x_scr[:] = x_scr[:] + acc_scr[:] * sm_ref[0]
+            xo_ref[:] = x_scr[:].astype(xo_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "rope_min", "rope_max", "interpret", "mlp_tiles",
+                     "ablate"),
+)
+def fused_decode_step(
+    pack: FusedPack,
+    x_emb: jax.Array,       # [B, D] bf16/f32
+    position: jax.Array,    # scalar int32
+    write_slot: jax.Array,  # scalar int32
+    self_k: jax.Array,      # [L, B, T, Nkv, H]
+    self_v: jax.Array,
+    cross_k: jax.Array,     # [L, B, S, Ncq, H]
+    cross_v: jax.Array,
+    cross_mask: jax.Array,  # [B, S] bool
+    eps: float = 1e-5,
+    rope_min: float = 1.0,
+    rope_max: float = 10000.0,
+    interpret: bool = False,
+    mlp_tiles: int = MLP_TILES,
+    ablate: str = "",
+):
+    """Run the full decoder stack for one token.  Returns
+    (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H])."""
+    L, B, T, Nkv, H = self_k.shape
+    S, Ncq = cross_k.shape[2], cross_k.shape[3]
+    D = x_emb.shape[-1]
+    NqH = pack.wo.shape[1]
+    Nq = NqH // H
+    F = pack.wg.shape[-1]
+    tile = F // mlp_tiles
+    nph = 2 + MLP_TILES
+
+    # per-layer blocks; index maps keep an input's block index constant until
+    # the phase that uses it, so each is fetched once per layer, and the
+    # Pallas pipeline overlaps the fetch with earlier phases' compute.
+    def per_layer(shape):
+        return pl.BlockSpec(shape, lambda l, p, *_: (l,) + (0,) * (len(shape) - 1))
+
+    def mlp_tiled_in(kdim_first):
+        if kdim_first:  # wm [L, F, D] → K tiles
+            return pl.BlockSpec((1, tile, D),
+                                lambda l, p, *_: (l, jnp.maximum(p - 2, 0), 0))
+        return pl.BlockSpec((1, D, tile),
+                            lambda l, p, *_: (l, 0, jnp.maximum(p - 2, 0)))
+
+    def mlp_scale(n):
+        return pl.BlockSpec((1, 1, n), lambda l, p, *_: (l, 0, jnp.maximum(p - 2, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, nph),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),        # x_emb
+            pl.BlockSpec((B, S), lambda l, p, *_: (0, 0)),        # cross mask (i32)
+            pl.BlockSpec((Nq * H, Nq * H), lambda l, p, *_: (0, 0)),   # RoPE swap (q/cq)
+            pl.BlockSpec((Nkv * H, Nkv * H), lambda l, p, *_: (0, 0)),  # RoPE swap (k)
+            per_layer((1, D, (Nq + 2 * Nkv) * H)),            # wqkv
+            per_layer((1, 1, (Nq + 2 * Nkv) * H)),            # sqkv
+            per_layer((1, NqH, D)), per_layer((1, 1, D)),     # wo, so
+            per_layer((1, D, Ncq * H)), per_layer((1, 1, Ncq * H)),  # wcq, scq
+            per_layer((1, Ncq * H, D)), per_layer((1, 1, D)),  # wco, sco
+            mlp_tiled_in(False), mlp_scale(tile),             # wg, sg
+            mlp_tiled_in(False), mlp_scale(tile),             # wu, su
+            mlp_tiled_in(True), per_layer((1, 1, D)),         # wm, sm
+            per_layer((1, B, T, Nkv, H)),                     # self k cache
+            per_layer((1, B, T, Nkv, H)),                     # self v cache
+            per_layer((1, B, S, Ncq, H)),                     # cross k
+            per_layer((1, B, S, Ncq, H)),                     # cross v
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),            # x_out
+            pl.BlockSpec((1, B, Nkv * H), lambda l, p, *_: (l, 0, 0)),  # k_new (flat)
+            pl.BlockSpec((1, B, Nkv * H), lambda l, p, *_: (l, 0, 0)),  # v_new (flat)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),      # x carry
+            pltpu.VMEM((B, D), jnp.bfloat16),     # mlp input norm cache
+            pltpu.VMEM((B, D), jnp.float32),      # mlp accumulator
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, L=L, B=B, D=D, T=T, S=S, Nq=Nq, Nkv=Nkv, Ncq=Ncq, H=H, F=F,
+        eps=eps, rope_min=rope_min, rope_max=rope_max, mlp_tiles=mlp_tiles,
+        ablate=ablate)
+
+    scalars = jnp.stack([position.astype(jnp.int32), write_slot.astype(jnp.int32)])
+    x_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Nkv * H), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, Nkv * H), self_v.dtype),
+        ],
+        # ~70 MB of double-buffered weight blocks + caches: v5e has 128 MiB
+        # VMEM; the 16 MiB default scoped limit is for small kernels
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, x_emb, cross_mask.astype(jnp.int32), pack.jq, pack.jk,
+      pack.wqkv, pack.sqkv, pack.wo, pack.so,
+      pack.wcq, pack.scq, pack.wco, pack.sco,
+      pack.wg, pack.sg, pack.wu, pack.su, pack.wm, pack.sm,
+      self_k, self_v, cross_k, cross_v)
+    return (x_out, k_new.reshape(L, B, Nkv, H), v_new.reshape(L, B, Nkv, H))

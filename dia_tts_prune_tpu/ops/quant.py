@@ -125,7 +125,9 @@ def quantize_params_int8(params: Params) -> Params:
     return _map_kernels(params, fq)
 
 
-def quantize_params_int8_packed(params: Params, scope: str | None = "decoder") -> Params:
+def quantize_params_int8_packed(
+    params: Params, scope: str | None = "decoder", fused: bool = True
+) -> Params:
     """Pack dense kernels as QuantizedKernels (int8 + scales).
 
     ``scope`` limits packing to one top-level subtree — default ``"decoder"``:
@@ -133,7 +135,21 @@ def quantize_params_int8_packed(params: Params, scope: str | None = "decoder") -
     int8 halves the bytes), while the encoder runs ONCE per generate call as
     a compute-bound GEMM where the int8 2-D layout measured slower
     (time-to-first-audio 0.21→0.84 s when the encoder was packed too).
-    Pass ``scope=None`` to pack the whole tree (memory-at-rest)."""
+    Pass ``scope=None`` to pack the whole tree (memory-at-rest).
+
+    ``fused`` additionally builds the fused-decode-step weight pack
+    (``params["decoder"]["fused_pack"]``, see ops/kernels/fused_step.py) from
+    the raw weights BEFORE quantization — norm gains fold into the int8
+    quantization at no extra error.  The fused kernel is the fastest TPU
+    decode path; the QuantizedKernel tree remains the prefill/fallback path."""
+    fused_pack = None
+    if fused and "decoder" in params:
+        try:
+            from .kernels.fused_step import repack_decoder_fused
+
+            fused_pack = repack_decoder_fused(params)
+        except (KeyError, TypeError):
+            fused_pack = None  # pruned/nonstandard layouts: fused path unavailable
 
     def pk(w, path):
         return quantize_int8(w, **_quant_args_for(path))
@@ -141,8 +157,12 @@ def quantize_params_int8_packed(params: Params, scope: str | None = "decoder") -
     if scope is not None and scope in params:
         out = dict(params)
         out[scope] = _map_kernels(params[scope], lambda w, p: pk(w, (scope,) + p))
-        return out
-    return _map_kernels(params, pk)
+    else:
+        out = _map_kernels(params, pk)
+    if fused_pack is not None:
+        out["decoder"] = dict(out["decoder"])
+        out["decoder"]["fused_pack"] = fused_pack
+    return out
 
 
 def quantization_error(params: Params) -> float:

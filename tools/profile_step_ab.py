@@ -78,11 +78,14 @@ def main():
         return run
 
     results = {}
+    from dia_tts_prune_tpu.models.dia import decode_step_fused
+
     variants = (
         ("bf16/unroll", decode_step, params),
         ("int8/unroll", decode_step, params_q),
         ("bf16/scan", decode_step_scan, params),
         ("int8/scan", decode_step_scan, params_q),
+        ("int8/fused", decode_step_fused, params_q),
     )
     if args.only:
         variants = tuple(v for v in variants if v[0] == args.only)

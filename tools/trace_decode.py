@@ -35,7 +35,8 @@ def main():
 
     from dia_tts_prune_tpu.config import dia_1_6b_config
     from dia_tts_prune_tpu.models.dia import (
-        KVCache, decode_step, decode_step_scan, init_params, new_self_cache,
+        KVCache, decode_step, decode_step_fused, decode_step_scan, init_params,
+        new_self_cache,
     )
     from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
@@ -44,7 +45,8 @@ def main():
     params = init_params(config, jax.random.PRNGKey(0), dtype)
     if args.variant.startswith("int8"):
         params = quantize_params_int8_packed(params)
-    step_fn = decode_step_scan if args.variant.endswith("scan") else decode_step
+    step_fn = {"scan": decode_step_scan, "fused": decode_step_fused}.get(
+        args.variant.split("/")[-1], decode_step)
     d = config.data
     dec = config.model.decoder
     B, S = 2, 128
