@@ -69,6 +69,7 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
+    n_params = param_count(params)  # model size; int8 packing adds derived arrays
     if args.int8 is None:
         # serving default: int8 weights win on TPU (3.10 vs 4.09 ms/step e2e);
         # CPU/tests keep bf16 (no bandwidth argument there)
@@ -149,7 +150,7 @@ def main(argv=None):
         "tokens_per_sec": round(tokens_per_sec, 2),
         "decode_steps": int(gen_steps),
         "wall_seconds": round(dt, 3),
-        "params": param_count(params),
+        "params": n_params,
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "temperature": args.temperature,

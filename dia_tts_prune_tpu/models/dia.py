@@ -601,6 +601,9 @@ def decode_step_fused(
         eps=m.normalization_layer_epsilon,
         rope_min=m.rope_min_timescale, rope_max=m.rope_max_timescale,
         interpret=interpret,
+        # perf-tuning knobs (tools/fused_ablate.py / A/B sweeps)
+        mlp_tiles=int(os.environ.get("DIA_FUSED_MT", "4")),
+        ablate=os.environ.get("DIA_FUSED_ABLATE", ""),
     )
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(

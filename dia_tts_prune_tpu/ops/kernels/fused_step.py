@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import Any, NamedTuple
 
 import jax
@@ -301,6 +302,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             mlp_tiles, ablate):
     l = pl.program_id(0)
     p = pl.program_id(1)
+    ablate_set = set(ablate.split(","))  # exact tokens ("mergecross" != "cross")
     pos = scalars_ref[0]
     write_slot = scalars_ref[1]
     scale = 1.0 / math.sqrt(H)
@@ -330,7 +332,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
         kn_ref[0] = k_new.astype(kn_ref.dtype)
         vn_ref[0] = v_new.astype(vn_ref.dtype)
 
-        if "attn" in ablate:  # perf ablation: weight stream without attention
+        if "attn" in ablate_set:  # perf ablation: weight stream without attention
             sa = qkv[:, : Nq * H].astype(jnp.bfloat16)
             x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
             return
@@ -342,8 +344,8 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             for h in range(Nq):
                 n = h // G  # kv head for this query head
                 qh = q[b: b + 1, h * H: (h + 1) * H]               # [1, H]
-                kcb = kc_ref[0, b, :, n, :].astype(jnp.float32)    # [T, H]
-                vcb = vc_ref[0, b, :, n, :].astype(jnp.float32)    # [T, H]
+                kcb = kc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)  # [T, H]
+                vcb = vc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
                 s_pre = jax.lax.dot_general(
                     qh, kcb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale    # [1, T]
@@ -363,12 +365,14 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
         sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
 
-    @pl.when(p == 1)
-    def _cross_attn():
+    merged = "mergecross" in ablate_set
+    mlp_off = 1 if merged else 2
+
+    def _cross_body():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
         cq = _rope_mat(dot8(xn, wcq_ref[0], scq_ref[0]), jq_ref[:], pos, H,
                        rope_min, rope_max)
-        if "cross" in ablate:  # perf ablation: weight stream without attention
+        if "cross" in ablate_set:  # perf ablation: weight stream without attention
             ca = cq.astype(jnp.bfloat16)
             x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
             return
@@ -378,8 +382,8 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             head_parts = []
             for n in range(Ncq):
                 qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
-                ckb = ck_ref[0, b, :, n, :].astype(jnp.float32)    # [S, H]
-                cvb = cv_ref[0, b, :, n, :].astype(jnp.float32)
+                ckb = ck_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)  # [S, H]
+                cvb = cv_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
                 s_c = jax.lax.dot_general(
                     qn, ckb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale    # [1, S]
@@ -396,9 +400,18 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
         ca = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
 
-    @pl.when(p >= 2)
+    if merged:
+        @pl.when(p == 0)
+        def _cross_in_p0():
+            _cross_body()
+    else:
+        @pl.when(p == 1)
+        def _cross_phase():
+            _cross_body()
+
+    @pl.when(p >= mlp_off)
     def _mlp_tile():
-        t = p - 2
+        t = p - mlp_off
 
         @pl.when(t == 0)
         def _():
@@ -450,7 +463,8 @@ def fused_decode_step(
     Nq = NqH // H
     F = pack.wg.shape[-1]
     tile = F // mlp_tiles
-    nph = 2 + MLP_TILES
+    mlp_off = 1 if "mergecross" in ablate else 2
+    nph = mlp_off + mlp_tiles
 
     # per-layer blocks; index maps keep an input's block index constant until
     # the phase that uses it, so each is fetched once per layer, and the
@@ -461,12 +475,12 @@ def fused_decode_step(
     def mlp_tiled_in(kdim_first):
         if kdim_first:  # wm [L, F, D] → K tiles
             return pl.BlockSpec((1, tile, D),
-                                lambda l, p, *_: (l, jnp.maximum(p - 2, 0), 0))
+                                lambda l, p, *_: (l, jnp.maximum(p - mlp_off, 0), 0))
         return pl.BlockSpec((1, D, tile),
-                            lambda l, p, *_: (l, 0, jnp.maximum(p - 2, 0)))
+                            lambda l, p, *_: (l, 0, jnp.maximum(p - mlp_off, 0)))
 
     def mlp_scale(n):
-        return pl.BlockSpec((1, 1, n), lambda l, p, *_: (l, 0, jnp.maximum(p - 2, 0)))
+        return pl.BlockSpec((1, 1, n), lambda l, p, *_: (l, 0, jnp.maximum(p - mlp_off, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -484,10 +498,10 @@ def fused_decode_step(
             mlp_tiled_in(False), mlp_scale(tile),             # wg, sg
             mlp_tiled_in(False), mlp_scale(tile),             # wu, su
             mlp_tiled_in(True), per_layer((1, 1, D)),         # wm, sm
-            per_layer((1, B, T, Nkv, H)),                     # self k cache
-            per_layer((1, B, T, Nkv, H)),                     # self v cache
-            per_layer((1, B, S, Ncq, H)),                     # cross k
-            per_layer((1, B, S, Ncq, H)),                     # cross v
+            per_layer((1, B, T, Nkv * H)),                    # self k cache (flat)
+            per_layer((1, B, T, Nkv * H)),                    # self v cache (flat)
+            per_layer((1, B, S, Ncq * H)),                    # cross k (flat)
+            per_layer((1, B, S, Ncq * H)),                    # cross v (flat)
         ],
         out_specs=[
             pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),            # x_out
@@ -517,11 +531,13 @@ def fused_decode_step(
         ],
         # ~70 MB of double-buffered weight blocks + caches: v5e has 128 MiB
         # VMEM; the 16 MiB default scoped limit is for small kernels
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_os.environ.get("DIA_FUSED_VMEM_MB", "100")) * 1024 * 1024),
         interpret=interpret,
     )(scalars, x_emb, cross_mask.astype(jnp.int32), pack.jq, pack.jk,
       pack.wqkv, pack.sqkv, pack.wo, pack.so,
       pack.wcq, pack.scq, pack.wco, pack.sco,
       pack.wg, pack.sg, pack.wu, pack.su, pack.wm, pack.sm,
-      self_k, self_v, cross_k, cross_v)
+      self_k.reshape(L, B, T, Nkv * H), self_v.reshape(L, B, T, Nkv * H),
+      cross_k.reshape(L, B, S, Ncq * H), cross_v.reshape(L, B, S, Ncq * H))
     return (x_out, k_new.reshape(L, B, Nkv, H), v_new.reshape(L, B, Nkv, H))
