@@ -194,8 +194,14 @@ def _wav_bytes(sr: int, pcm16: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def make_server(dia, host: str = "0.0.0.0", port: int = 7860):
-    """Build the minimal JSON→WAV server: POST /generate, GET /health."""
+def make_server(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
+    """Build the minimal JSON→WAV server: POST /generate, GET /health|/stats.
+
+    With ``batcher`` (serving.DynamicBatcher), single-chunk requests from
+    concurrent clients are coalesced into one batched decode loop — the
+    aggregate-throughput serving mode (batch 8 ≈ 4× the tokens/s of serial
+    single streams, docs/PERF.md).  Multi-chunk long-form requests keep the
+    rolling-prompt pipeline (run_inference) unchanged."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -205,13 +211,16 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860):
         def do_GET(self):
             if self.path == "/health":
                 body = json.dumps({"status": "ok"}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/stats" and batcher is not None:
+                body = json.dumps(batcher.stats).encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if self.path != "/generate":
@@ -221,20 +230,43 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 text = req.get("text", "")
-                sr, pcm = run_inference(
-                    dia,
-                    text,
-                    audio_prompt_path=req.get("audio_prompt"),
-                    audio_prompt_text=req.get("audio_prompt_text"),
-                    max_new_tokens=int(req.get("max_new_tokens", 1024)),
-                    cfg_scale=float(req.get("cfg_scale", 3.0)),
-                    temperature=float(req.get("temperature", 1.3)),
-                    top_p=float(req.get("top_p", 0.95)),
-                    cfg_filter_top_k=int(req.get("cfg_filter_top_k", 35)),
-                    speed_factor=float(req.get("speed_factor", 1.0)),
-                    chunk_size=int(req.get("chunk_size", 0)),
-                    seed=req.get("seed"),
+                speed = float(req.get("speed_factor", 1.0))
+                chunk_size = auto_adjust_chunk_size(text, int(req.get("chunk_size", 0)))
+                single_chunk = (
+                    text.strip()
+                    and len(split_by_words_respecting_special_tokens(text, chunk_size)) == 1
                 )
+                if batcher is not None and single_chunk and speed == 1.0:
+                    audio = batcher.generate(
+                        text,
+                        max_tokens=int(req.get("max_new_tokens", 1024)),
+                        cfg_scale=float(req.get("cfg_scale", 3.0)),
+                        temperature=float(req.get("temperature", 1.3)),
+                        top_p=float(req.get("top_p", 0.95)),
+                        cfg_filter_top_k=int(req.get("cfg_filter_top_k", 35)),
+                        audio_prompt=req.get("audio_prompt"),
+                        audio_prompt_text=req.get("audio_prompt_text"),
+                        seed=req.get("seed"),
+                    )
+                    if audio is None:
+                        audio = np.zeros(0, np.float32)
+                    sr = SAMPLE_RATE
+                    pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+                else:
+                    sr, pcm = run_inference(
+                        dia,
+                        text,
+                        audio_prompt_path=req.get("audio_prompt"),
+                        audio_prompt_text=req.get("audio_prompt_text"),
+                        max_new_tokens=int(req.get("max_new_tokens", 1024)),
+                        cfg_scale=float(req.get("cfg_scale", 3.0)),
+                        temperature=float(req.get("temperature", 1.3)),
+                        top_p=float(req.get("top_p", 0.95)),
+                        cfg_filter_top_k=int(req.get("cfg_filter_top_k", 35)),
+                        speed_factor=speed,
+                        chunk_size=int(req.get("chunk_size", 0)),
+                        seed=req.get("seed"),
+                    )
                 body = _wav_bytes(sr, pcm)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -259,9 +291,11 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_http(dia, host: str = "0.0.0.0", port: int = 7860):
-    server = make_server(dia, host, port)
-    print(f"Serving Dia TTS API on http://{host}:{server.server_address[1]} (POST /generate)")
+def serve_http(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
+    server = make_server(dia, host, port, batcher=batcher)
+    mode = "dynamic-batched" if batcher is not None else "serial"
+    print(f"Serving Dia TTS API on http://{host}:{server.server_address[1]} "
+          f"(POST /generate, {mode})")
     server.serve_forever()
 
 
@@ -314,6 +348,13 @@ def main(argv=None) -> int:
     parser.add_argument("--host", type=str, default=os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0"))
     parser.add_argument("--port", type=int, default=int(os.environ.get("GRADIO_SERVER_PORT", 7860)))
     parser.add_argument("--no-gradio", action="store_true", help="Force the stdlib HTTP API")
+    parser.add_argument("--dynamic-batch", action="store_true",
+                        help="coalesce concurrent HTTP requests into batched "
+                             "decode loops (implies the stdlib HTTP API)")
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="max coalesced requests per decode loop")
+    parser.add_argument("--batch-wait-ms", type=float, default=50.0,
+                        help="max extra latency spent waiting for companions")
     args = parser.parse_args(argv)
 
     from .api import Dia
@@ -323,13 +364,20 @@ def main(argv=None) -> int:
     if args.quantize_int8:
         dia.quantize_int8()
 
-    if not args.no_gradio:
+    batcher = None
+    if args.dynamic_batch:
+        from .serving import DynamicBatcher
+
+        batcher = DynamicBatcher(dia, max_batch=args.max_batch,
+                                 max_wait_ms=args.batch_wait_ms)
+
+    if not args.no_gradio and batcher is None:
         try:
             serve_gradio(dia, args.host, args.port)
             return 0
         except ImportError:
             print("gradio not installed — falling back to the stdlib HTTP API.")
-    serve_http(dia, args.host, args.port)
+    serve_http(dia, args.host, args.port, batcher=batcher)
     return 0
 
 
