@@ -1,19 +1,28 @@
 """Benchmark: Dia-1.6B generation realtime factor on the local accelerator.
 
-Prints ONE JSON line:
+Prints one JSON line PER MEASURED CONFIG (the driver parses the LAST line as
+the headline):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Metric: RTF (generated audio seconds per wall second) for bf16 Dia-1.6B
-single-stream generation (CFG pair, device-resident decode loop), measured on
-the decode loop after compilation.  Baseline: the reference's published bf16
-RTF ≈ 2.1 on an RTX 4090 with torch.compile (BASELINE.md).
+Default on TPU: TWO lines — bf16 first, then packed-int8 (the serving
+default and headline).  Reporting both keeps the numeric contract visible:
+int8 changes generated tokens vs bf16 (quality evidence: tools/int8_quality.py,
+docs/PERF.md), so a reader can always compare like with like.
 
-Audio seconds per decode step = 1/86.13 (44.1 kHz DAC, hop 512).
+Metric: RTF (generated audio seconds per wall second) for Dia-1.6B
+single-stream generation (CFG pair, device-resident decode loop).
+Baseline: the reference's published bf16 RTF ≈ 2.1 on an RTX 4090 with
+torch.compile (BASELINE.md).  Audio seconds per decode step = 1/86.13
+(44.1 kHz DAC, hop 512).
 
 Usage:
-  python bench.py                # full 1.6B bf16 on the available accelerator
-  python bench.py --tiny        # tiny config smoke run (CI/CPU)
-  python bench.py --steps 512   # timed decode steps
+  python bench.py                 # full 1.6B: bf16 line + int8 line (TPU)
+  python bench.py --tiny          # tiny config smoke run (CI/CPU)
+  python bench.py --steps 512     # timed decode steps
+  python bench.py --int8 / --no-int8     # pin one config (single line)
+  python bench.py --batch 8       # batched aggregate throughput
+  python bench.py --pruned block50       # block-sparse pruned inference
+         (block50|block70|unstructured50|shrink-ffn|shrink-heads)
 """
 
 from __future__ import annotations
@@ -26,6 +35,114 @@ import time
 DAC_FRAME_RATE = 44100.0 / 512.0  # ≈ 86.13 codec frames / second of audio
 BASELINE_RTF_BF16 = 2.1  # reference README.md:220-225 (RTX 4090, torch.compile)
 
+BENCH_TEXT = (
+    "[S1] This is a benchmark of the TPU native Dia text to speech system. "
+    "[S2] It measures the realtime factor of autoregressive codec token generation. "
+    "[S1] The quick brown fox jumps over the lazy dog."
+)
+
+PRUNED_MODES = ("none", "block50", "block70", "unstructured50", "shrink-ffn", "shrink-heads")
+
+
+def _apply_pruning(params, config, mode: str):
+    """Transform (params, config) for the requested pruned-inference mode."""
+    from dia_tts_prune_tpu.ops.sparse import sparsify_params_block
+    from dia_tts_prune_tpu.prune import (
+        apply_masks,
+        block_masks,
+        shrink_ffn,
+        shrink_heads,
+        unstructured_masks,
+    )
+
+    if mode in ("block50", "block70"):
+        amount = 0.5 if mode == "block50" else 0.7
+        pruned = apply_masks(params, block_masks(params, amount, block=(256, 256)))
+        return sparsify_params_block(pruned), config
+    if mode == "unstructured50":
+        # element-level masks: dense math over zeros (the reference's mode —
+        # measured for honesty; no bandwidth savings expected)
+        return apply_masks(params, unstructured_masks(params, 0.5)), config
+    if mode == "shrink-ffn":
+        return shrink_ffn(params, config, keep_fraction=0.5)
+    if mode == "shrink-heads":
+        return shrink_heads(params, config, keep_fraction=0.5)
+    raise ValueError(f"unknown pruned mode {mode}")
+
+
+def measure(gen, config, args, metric: str, n_params: int, ttfa_cache_len: int):
+    """Warmup-compile, run the timed generation, optionally measure TTFA."""
+    import jax
+
+    steps = min(args.steps, config.data.audio_length - 32)
+    max_tokens = steps + config.data.max_delay + 2
+    warmup_tokens = 32 + config.data.max_delay + 2
+    texts = [BENCH_TEXT] * args.batch if args.batch > 1 else None
+    if texts:
+        seeds = [args.seed + i for i in range(args.batch)]
+        gen.generate_tokens_batch(texts, max_tokens=warmup_tokens,
+                                  temperature=args.temperature,
+                                  cfg_filter_top_k=args.top_k, seeds=seeds,
+                                  cache_len=max_tokens)
+    else:
+        gen.generate_tokens(BENCH_TEXT, max_tokens=warmup_tokens,
+                            temperature=args.temperature,
+                            cfg_filter_top_k=args.top_k, seed=1,
+                            cache_len=max_tokens)
+
+    # Timed run. Random weights never sample EOS in channel 0 spontaneously
+    # (vocab 1028), so the loop runs to the near-max trigger — a stable,
+    # worst-case-length measurement.
+    t0 = time.perf_counter()
+    if texts:
+        outs = gen.generate_tokens_batch(texts, max_tokens=max_tokens,
+                                         temperature=args.temperature,
+                                         cfg_filter_top_k=args.top_k, seeds=seeds,
+                                         cache_len=max_tokens)
+        gen_rows = sum(o.shape[0] for o in outs) + args.batch * config.data.max_delay
+    else:
+        out = gen.generate_tokens(BENCH_TEXT, max_tokens=max_tokens,
+                                  temperature=args.temperature,
+                                  cfg_filter_top_k=args.top_k, seed=args.seed)
+        gen_rows = out.shape[0] + config.data.max_delay
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = gen_rows / dt
+    rtf = tokens_per_sec / DAC_FRAME_RATE
+
+    # time-to-first-audio proxy: a minimal-length generate call (includes
+    # conditioning, compile-cache hit, transfers, and the first audio frames);
+    # only meaningful for the single-stream path (the batch warmup compiled a
+    # different executable)
+    if args.batch > 1:
+        ttfa = None
+    else:
+        t1 = time.perf_counter()
+        gen.generate_tokens(BENCH_TEXT, max_tokens=8 + config.data.max_delay + 2,
+                            temperature=args.temperature, cfg_filter_top_k=args.top_k,
+                            seed=2, cache_len=ttfa_cache_len)
+        ttfa = time.perf_counter() - t1
+
+    return {
+        "metric": metric,
+        "value": round(rtf, 4),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASELINE_RTF_BF16, 4),
+        "tokens_per_sec": round(tokens_per_sec, 2),
+        "decode_steps": int(gen_rows),
+        "wall_seconds": round(dt, 3),
+        "params": n_params,
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+        "temperature": args.temperature,
+        "ttfa_seconds": round(ttfa, 3) if ttfa is not None else None,
+        "batch": args.batch,
+        # random init — the published 1.6B weights are not reachable in this
+        # environment, so EOS never fires naturally and the run measures the
+        # worst-case (full-length) decode; see tools/validate_real_checkpoint.py
+        "weights": "random",
+    }
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -37,10 +154,13 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=35)
     parser.add_argument("--int8", action=argparse.BooleanOptionalAction, default=None,
                         help="packed int8 weights (weight-only, upcast-in-dot). "
-                        "Default: ON for TPU backends (measured 32%% faster than "
-                        "bf16 — docs/PERF.md), OFF elsewhere. --no-int8 opts out.")
+                        "Default on TPU: report BOTH a bf16 line and an int8 line "
+                        "(int8 last = headline). --int8/--no-int8 pins one config.")
     parser.add_argument("--batch", type=int, default=1,
                         help="N independent streams decoded in one batched loop")
+    parser.add_argument("--pruned", type=str, default="none", choices=PRUNED_MODES,
+                        help="pruned-inference config (BASELINE configs 3-4): "
+                        "block-sparse kernels, masked-dense, or physical shrink")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -60,108 +180,47 @@ def main(argv=None):
     from dia_tts_prune_tpu.generate import DiaGenerator
     from dia_tts_prune_tpu.models.dia import init_params, param_count
 
-    if args.tiny:
-        config = tiny_test_config()
-        steps = min(args.steps, config.data.audio_length - 32)
-    else:
-        config = dia_1_6b_config(weight_dtype=args.dtype)
-        steps = min(args.steps, config.data.audio_length - 32)
-
+    config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype=args.dtype)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
     n_params = param_count(params)  # model size; int8 packing adds derived arrays
-    if args.int8 is None:
-        # serving default: int8 weights win on TPU (3.10 vs 4.09 ms/step e2e);
-        # CPU/tests keep bf16 (no bandwidth argument there)
-        args.int8 = jax.default_backend() in ("tpu", "axon") and not args.tiny
-    if args.int8:
-        from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+    on_tpu = jax.default_backend() in ("tpu", "axon")
 
-        params = quantize_params_int8_packed(params)
-    gen = DiaGenerator(params, config, args.dtype)
+    steps = min(args.steps, config.data.audio_length - 32)
+    ttfa_cache_len = steps + config.data.max_delay + 2
+    suffix = f"_batch{args.batch}" if args.batch > 1 else ""
+    size = "tiny_smoke" if args.tiny else "dia1.6b_1chip"
 
-    text = (
-        "[S1] This is a benchmark of the TPU native Dia text to speech system. "
-        "[S2] It measures the realtime factor of autoregressive codec token generation. "
-        "[S1] The quick brown fox jumps over the lazy dog."
-    )
-
-    texts = [text] * args.batch if args.batch > 1 else None
-
-    # Warmup: compiles prepare + decode loop.  max_tokens is a traced scalar
-    # but the self-cache length bucket is static — pin cache_len to the timed
-    # run's bucket so warmup compiles the same executable.
-    max_tokens = steps + config.data.max_delay + 2
-    warmup_tokens = 32 + config.data.max_delay + 2
-    if texts:
-        gen.generate_tokens_batch(texts, max_tokens=warmup_tokens,
-                                  temperature=args.temperature,
-                                  cfg_filter_top_k=args.top_k, seed=1,
-                                  cache_len=max_tokens)
+    results = []
+    if args.pruned != "none":
+        params, config = _apply_pruning(params, config, args.pruned)
+        gen = DiaGenerator(params, config, args.dtype)
+        results.append(measure(
+            gen, config, args, f"RTF_pruned_{args.pruned}_{size}{suffix}",
+            param_count(params), ttfa_cache_len))
     else:
-        gen.generate_tokens(text, max_tokens=warmup_tokens, temperature=args.temperature,
-                            cfg_filter_top_k=args.top_k, seed=1,
-                            cache_len=max_tokens)
+        # int8 default: ON for TPU serving (measured +71% tokens/s, docs/PERF.md);
+        # dual-report bf16 alongside unless the user pinned a config
+        want_int8 = args.int8 if args.int8 is not None else (on_tpu and not args.tiny)
+        want_bf16 = (args.int8 is None and on_tpu and not args.tiny) or not want_int8
+        if want_bf16:
+            gen = DiaGenerator(params, config, args.dtype)
+            results.append(measure(
+                gen, config, args, f"RTF_{args.dtype.replace('loat', '')}_{size}{suffix}"
+                if args.dtype != "bfloat16" else f"RTF_bf16_{size}{suffix}",
+                n_params, ttfa_cache_len))
+            del gen
+        if want_int8:
+            from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
-    # Timed run. Random weights never sample EOS in channel 0 spontaneously
-    # (vocab 1028), so the loop runs to the near-max trigger — a stable,
-    # worst-case-length measurement.
-    t0 = time.perf_counter()
-    if texts:
-        outs = gen.generate_tokens_batch(texts, max_tokens=max_tokens,
-                                         temperature=args.temperature,
-                                         cfg_filter_top_k=args.top_k, seed=args.seed,
-                                         cache_len=max_tokens)
-        out = outs[0]
-        gen_rows = sum(o.shape[0] for o in outs) + args.batch * config.data.max_delay
-    else:
-        out = gen.generate_tokens(text, max_tokens=max_tokens, temperature=args.temperature,
-                                  cfg_filter_top_k=args.top_k, seed=args.seed)
-        gen_rows = out.shape[0] + config.data.max_delay
-    dt = time.perf_counter() - t0
+            qparams = quantize_params_int8_packed(params)
+            del params
+            gen = DiaGenerator(qparams, config, args.dtype)
+            results.append(measure(
+                gen, config, args, f"RTF_int8_{size}{suffix}", n_params, ttfa_cache_len))
 
-    # aggregate steps executed across streams (+ trimmed delay tails)
-    gen_steps = gen_rows
-    tokens_per_sec = gen_steps / dt
-    rtf = tokens_per_sec / DAC_FRAME_RATE
-
-    # time-to-first-audio proxy: a minimal-length generate call (includes
-    # conditioning, compile-cache hit, transfers, and the first audio frames);
-    # only meaningful for the single-stream path (the batch warmup compiled a
-    # different executable)
-    if args.batch > 1:
-        ttfa = None
-    else:
-        t1 = time.perf_counter()
-        gen.generate_tokens(text, max_tokens=8 + config.data.max_delay + 2,
-                            temperature=args.temperature, cfg_filter_top_k=args.top_k,
-                            seed=2, cache_len=max_tokens)
-        ttfa = time.perf_counter() - t1
-
-    result = {
-        "metric": (
-            "RTF_tiny_smoke" if args.tiny
-            else ("RTF_int8_dia1.6b_1chip" if args.int8 else "RTF_bf16_dia1.6b_1chip")
-            + (f"_batch{args.batch}" if args.batch > 1 else "")
-        ),
-        "value": round(rtf, 4),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / BASELINE_RTF_BF16, 4),
-        "tokens_per_sec": round(tokens_per_sec, 2),
-        "decode_steps": int(gen_steps),
-        "wall_seconds": round(dt, 3),
-        "params": n_params,
-        "device": str(jax.devices()[0]),
-        "dtype": args.dtype,
-        "temperature": args.temperature,
-        "ttfa_seconds": round(ttfa, 3) if ttfa is not None else None,
-        "batch": args.batch,
-        # random init — the published 1.6B weights are not reachable in this
-        # environment, so EOS never fires naturally and the run measures the
-        # worst-case (full-length) decode; see tools/validate_real_checkpoint.py
-        "weights": "random",
-    }
-    print(json.dumps(result))
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

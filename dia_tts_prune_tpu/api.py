@@ -337,12 +337,15 @@ class Dia:
         audio_prompts: "list[str | np.ndarray | None] | None" = None,
         audio_prompt_texts: "list[str | None] | None" = None,
         seed: int | None = None,
+        seeds: "list[int | None] | None" = None,
     ) -> list[np.ndarray | None]:
         """Batched serving: N prompts decoded in one device-resident loop,
         then one batched codec decode.  Beyond the reference, which is
         single-stream only (SURVEY.md Q4).  ``audio_prompts`` (per-stream WAV
         paths or [T, C] code arrays) enables batched voice cloning — the
-        reference app's rolling-prompt long-form pipeline at batch speed."""
+        reference app's rolling-prompt long-form pipeline at batch speed.
+        ``seeds`` carries per-stream PRNG seeds (each stream samples from its
+        own key chain, reproducing its single-stream run exactly)."""
         prompt_codes = None
         if audio_prompts is not None:
             prompt_codes = [
@@ -354,7 +357,7 @@ class Dia:
             texts, max_tokens=max_tokens, cfg_scale=cfg_scale, temperature=temperature,
             top_p=top_p, cfg_filter_top_k=cfg_filter_top_k,
             audio_prompt_codes=prompt_codes, audio_prompt_texts=audio_prompt_texts,
-            seed=seed,
+            seed=seed, seeds=seeds,
         )
         self._require_dac()
         outs: list[np.ndarray | None] = []
@@ -397,6 +400,26 @@ class Dia:
 
         self.params = quantize_params_int8_packed(self.params)
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+
+    def prune_block_sparse(self, amount: float, block: tuple[int, int] = (256, 256)) -> dict:
+        """Block-granular magnitude pruning wired into inference.
+
+        Ranks (block_k, block_n) weight blocks by L1 norm across all dense
+        kernels, zeroes the ``amount`` smallest (reference pruning semantics
+        at block granularity: dia/pruning_utils.py:42-62; README.md:366
+        recommends 50-70% sparsity), then swaps decoder kernels for
+        ``BlockSparseKernel``s so the decode loop's matmuls DMA-skip the
+        pruned blocks — weight HBM bytes scale with density, unlike the
+        reference's zero-multiplying masked inference.  Returns the
+        per-module block-density summary."""
+        from .ops.sparse import sparsify_params_block, sparsity_summary
+        from .prune import apply_masks, block_masks
+
+        masks = block_masks(self.params, amount, block=block)
+        pruned = apply_masks(self.params, masks)
+        self.params = sparsify_params_block(pruned, block_k=block[0], block_n=block[1])
+        self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+        return sparsity_summary(self.params)
 
     def load_adapter_weights(self, adapter_path: str | Path, fuse: bool = True) -> None:
         """Load a LoRA adapter and fuse it into the base weights (reference

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 import argparse
 import io
+import itertools
 import json
 import os
+import re
 import tempfile
 import time
 
@@ -31,51 +33,55 @@ SILENCE_SEC = 0.2
 
 
 # ---------------------------------------------------------------------------
-# Chunking (reference: app.py:80-131)
+# Chunking — behavioral spec from the reference (app.py:80-131): speaker tags
+# are billed as one character; chunk budget auto-scales 48/64/96 with input
+# size; splits never break words; chunks are consumed in groups.
 # ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(r"\[S[12]\]")
+
+# (input ceiling in effective chars, chunk budget) — longer inputs get larger
+# chunks so the batch count stays bounded
+_CHUNK_BUDGETS = ((1024, 48), (4096, 64), (float("inf"), 96))
 
 
 def count_effective_length(text: str) -> int:
-    """[S1]/[S2] count as one character (reference: app.py:80-82)."""
-    return len(text.replace("[S1]", "¤").replace("[S2]", "¤"))
+    """Character count where each speaker tag bills as a single character."""
+    return len(text) - sum(len(m.group()) - 1 for m in _TAG_RE.finditer(text))
 
 
 def auto_adjust_chunk_size(text: str, user_chunk_size: int = 0) -> int:
-    """48/64/96 effective chars by input size (reference: app.py:84-97)."""
+    """Pick the per-chunk character budget (user override wins)."""
     if user_chunk_size > 0:
         return int(user_chunk_size)
-    effective_chars = count_effective_length(text)
-    if effective_chars <= 1024:
-        return 48
-    if effective_chars <= 4096:
-        return 64
-    return 96
+    n = count_effective_length(text)
+    return next(budget for ceiling, budget in _CHUNK_BUDGETS if n <= ceiling)
 
 
 def split_by_words_respecting_special_tokens(text: str, max_effective_chars: int = 64) -> list[str]:
-    """Word-preserving splitter (reference: app.py:100-121)."""
-    words = text.split()
-    chunks: list[str] = []
-    current = ""
-    for word in words:
-        tentative = (current + " " + word).strip() if current else word
-        if count_effective_length(tentative) > max_effective_chars:
-            if current:
-                chunks.append(current.strip())
-                current = word
-            else:
-                chunks.append(word)
-                current = ""
-        else:
-            current = tentative
-    if current:
-        chunks.append(current.strip())
-    return chunks
+    """Greedy word-boundary split: keep appending words while the chunk fits;
+    a single word longer than the budget becomes its own chunk."""
+    chunks: list[list[str]] = [[]]
+    used = 0
+    for word in text.split():
+        cost = count_effective_length(word) + (1 if chunks[-1] else 0)
+        if chunks[-1] and used + cost > max_effective_chars:
+            chunks.append([])
+            used = 0
+            cost = count_effective_length(word)
+        chunks[-1].append(word)
+        used += cost
+        if used > max_effective_chars:  # oversized lone word: close it out
+            chunks.append([])
+            used = 0
+    return [" ".join(c) for c in chunks if c]
 
 
 def batch_chunks(chunks: list[str], batch_size: int):
-    for i in range(0, len(chunks), batch_size):
-        yield chunks[i : i + batch_size]
+    """Consume chunks in fixed-size groups (last group may be short)."""
+    it = iter(chunks)
+    while group := list(itertools.islice(it, batch_size)):
+        yield group
 
 
 # ---------------------------------------------------------------------------

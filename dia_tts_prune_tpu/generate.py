@@ -100,6 +100,11 @@ def _decode_step_fn(params=None, batch: bool = False):
         return decode_step
     if mode == "fused":
         return decode_step_fused
+    if params is not None and _params_are_block_sparse(params):
+        # block-sparse pruned weights: scan-over-layers (one Pallas kernel
+        # trace per dense site instead of 18×; same streaming rationale as
+        # the packed-int8 path)
+        return decode_step_scan
     if params is not None and _params_are_packed_int8(params):
         if (
             not batch
@@ -124,6 +129,15 @@ def _params_are_packed_int8(params) -> bool:
     except (KeyError, TypeError):
         return False
     return type(k).__name__ == "QuantizedKernel"
+
+
+def _params_are_block_sparse(params) -> bool:
+    """True if the decoder's dense kernels are block-sparse packed."""
+    try:
+        k = params["decoder"]["layers"]["mlp"]["wo"]["kernel"]
+    except (KeyError, TypeError):
+        return False
+    return type(k).__name__ == "BlockSparseKernel"
 
 
 @dataclass(frozen=True)
@@ -394,7 +408,7 @@ class BatchLoopState(NamedTuple):
 
     tokens: jax.Array  # int32 [N, T_max, C]
     cache: KVCache  # [L, 2N, T, Nkv, H]
-    key: jax.Array
+    keys: jax.Array  # [N, 2] per-stream PRNG key chains
     t: jax.Array  # int32 scalar: current step index
     eos_detected: jax.Array  # bool [N]
     eos_countdown: jax.Array  # int32 [N]
@@ -414,7 +428,8 @@ def generate_fused_batch(
     enc_input: jax.Array,  # [2N, T_text]: rows [uncond×N ; cond×N]
     tokens_buf: jax.Array,  # [N, T_max, C] with per-stream delayed templates
     prefill_steps: jax.Array,  # int32 [N]: 1 + prompt length per stream
-    int_args: jax.Array,  # [2] int32: max_tokens, seed
+    seeds: jax.Array,  # int32 [N]: per-stream PRNG seeds
+    int_args: jax.Array,  # [1] int32: max_tokens
     float_args: jax.Array,  # [3] f32: cfg_scale, temperature, top_p
     prefill_window: int | None,
     greedy: bool,
@@ -442,12 +457,19 @@ def generate_fused_batch(
     ``max_tokens`` keeps the reference's total-row semantics per stream
     (prompt + generated, dia/model.py:748): stream ``i`` stops by
     ``t - offset_i >= max_tokens - 1``.
+
+    PRNG: each stream carries its OWN key chain seeded from ``seeds[i]`` and
+    split once per step, exactly like the single-stream loop — so a seeded
+    request's temperature>0 tokens equal its single-stream run and are
+    independent of which requests happen to share the batch (reference seeded
+    reproducibility semantics, dia/model.py:679-683 + cli.py:22-32, extended
+    to batched serving).
     """
     compute_dtype = _dtype_of(compute_dtype_name)
     d = config.data
     N = tokens_buf.shape[0]
     max_tokens = int_args[0]
-    key = jax.random.PRNGKey(int_args[1])
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)  # [N] independent key chains
     cfg_scale, temperature, top_p = float_args[0], float_args[1], float_args[2]
     delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
     max_delay = d.max_delay
@@ -489,11 +511,16 @@ def generate_fused_batch(
         guided = cond_l + cfg_scale * (cond_l - uncond)  # [N, C, V]
         guided = jax.vmap(lambda g: apply_constraints(g, eos, pad, d.audio_bos_value))(guided)
 
-        key, sub = jax.random.split(s.key)
+        # per-stream key chains: stream i's split/sample sequence is identical
+        # to its single-stream run (batch-composition-independent sampling)
+        splits = jax.vmap(jax.random.split)(s.keys)  # [N, 2, 2]
+        keys, subs = splits[:, 0], splits[:, 1]
         if greedy:
             pred = jnp.argmax(guided, axis=-1).astype(jnp.int32)  # [N, C]
         else:
-            pred = _traced_sample(sub, guided, temperature, top_p, cfg_filter_top_k)
+            pred = jax.vmap(
+                lambda k, g: _traced_sample(k, g, temperature, top_p, cfg_filter_top_k)
+            )(subs, guided)
 
         newly_eos = (~s.eos_detected) & (pred[:, 0] == eos)
         eos_detected = s.eos_detected | newly_eos
@@ -525,7 +552,7 @@ def generate_fused_batch(
         countdown = jnp.where(near_max, max_delay, countdown)
 
         return BatchLoopState(
-            tokens=tokens, cache=new_cache, key=key, t=t,
+            tokens=tokens, cache=new_cache, keys=keys, t=t,
             eos_detected=eos_detected, eos_countdown=countdown,
             stopped=stopped, final_step=final_step,
         )
@@ -533,7 +560,7 @@ def generate_fused_batch(
     init = BatchLoopState(
         tokens=tokens_buf,
         cache=self_cache,
-        key=key,
+        keys=keys,
         t=jnp.asarray(start - 1, jnp.int32),
         eos_detected=jnp.zeros((N,), jnp.bool_),
         eos_countdown=jnp.full((N,), -1, jnp.int32),
@@ -831,11 +858,17 @@ class DiaGenerator:
         audio_prompt_codes: "list[np.ndarray | None] | None" = None,
         audio_prompt_texts: "list[str | None] | None" = None,
         seed: int | None = None,
+        seeds: "list[int | None] | None" = None,
         cache_len: int | None = None,
     ) -> list[np.ndarray]:
         """N independent prompts → N undelayed token arrays, decoded in one
         batched device-resident loop (2N CFG rows).  Aggregate throughput
         scales with N because every stream shares the per-step weight reads.
+
+        ``seeds`` gives each stream its own PRNG seed (``None`` entries get a
+        fresh random one); ``seed`` applies one seed to every stream.  Either
+        way stream ``i`` samples from its own key chain, so its tokens equal
+        the single-stream run with that seed regardless of batch composition.
 
         Per-stream voice-clone prompts are supported: prompt templates are
         left-padded to a shared 128-bucket window so all prompts end on the
@@ -886,11 +919,22 @@ class DiaGenerator:
             tokens_buf[i, off : off + delayed.shape[0]] = delayed
 
         caps = np.minimum(max_tokens + (start - prefill_steps), d.audio_length)
-        int_args = np.asarray([max_tokens, _resolve_seed(seed)], np.int32)
+        if seeds is not None:
+            if len(seeds) != N:
+                raise ValueError("seeds must match len(texts)")
+            seed_arr = np.asarray([_resolve_seed(s) for s in seeds], np.int32)
+        else:
+            shared = _resolve_seed(seed) if seed is not None else None
+            seed_arr = np.asarray(
+                [shared if shared is not None else _resolve_seed(None) for _ in range(N)],
+                np.int32,
+            )
+        int_args = np.asarray([max_tokens], np.int32)
         float_args = np.asarray([cfg_scale, temperature, top_p], np.float32)
         tokens, final_steps = generate_fused_batch(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
-            jnp.asarray(prefill_steps), jnp.asarray(int_args), jnp.asarray(float_args),
+            jnp.asarray(prefill_steps), jnp.asarray(seed_arr),
+            jnp.asarray(int_args), jnp.asarray(float_args),
             prefill_window=window,
             greedy=(temperature == 0.0), cfg_filter_top_k=cfg_filter_top_k,
             compute_dtype_name=self.compute_dtype,

@@ -50,10 +50,14 @@ def dense_general(x: jax.Array, kernel, axis: tuple[int, ...] = (-1,)) -> jax.Ar
     ``kernel`` may be a ``QuantizedKernel`` (int8 values + per-channel
     scales), in which case the contraction runs through the int8 Pallas
     matmul on TPU (halved weight bytes on the bandwidth-bound decode path) or
-    a dequantize-then-dot fallback elsewhere.
+    a dequantize-then-dot fallback elsewhere.  A ``BlockSparseKernel``
+    (block-pruned weights, ops/sparse.py) routes to the block-sparse Pallas
+    matmul that DMA-skips all-zero weight blocks.
     """
     if type(kernel).__name__ == "QuantizedKernel":
         return _dense_general_q(x, kernel, axis)
+    if type(kernel).__name__ == "BlockSparseKernel":
+        return _dense_general_sparse(x, kernel, axis)
     norm_axis = tuple(ax if ax >= 0 else x.ndim + ax for ax in axis)
     kernel_axes = tuple(range(len(norm_axis)))
     x = x.astype(kernel.dtype)
@@ -112,6 +116,38 @@ def _dense_general_q(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
 
         y = int8_matmul_reference(x2, w2, scale)
     return y.reshape(*lead, *out_shape)
+
+
+def _dense_general_sparse(x: jax.Array, sk, axis: tuple[int, ...]) -> jax.Array:
+    """Block-sparse contraction for pruned kernels (ops/sparse.py).
+
+    On TPU (or under ``DIA_SPARSE_INTERPRET=1``) the block-sparse Pallas
+    matmul reads only nonzero weight blocks — weight HBM bytes scale with
+    block density on the bandwidth-bound decode path.  Elsewhere, a dense dot
+    over the zero-filled values (bit-identical result, no savings)."""
+    import math as _math
+    import os as _os
+
+    n_in = len(axis)
+    if n_in != len(sk.in_shape):
+        raise ValueError(
+            f"kernel packed for {len(sk.in_shape)} contraction axes, called with {n_in}")
+    K = _math.prod(sk.in_shape)
+    lead = x.shape[: x.ndim - n_in]
+    x2 = x.reshape(-1, K)
+    interpret = _os.environ.get("DIA_SPARSE_INTERPRET") == "1"
+    if (jax.default_backend() in ("tpu", "axon") or interpret) and (
+        _os.environ.get("DIA_SPARSE_IMPL", "pallas") == "pallas"
+    ):
+        from .kernels.sparse_matmul import block_sparse_matmul
+
+        y = block_sparse_matmul(
+            x2.astype(sk.values.dtype), sk.values, sk.indices, sk.counts,
+            block_k=sk.block_k, block_n=sk.block_n, interpret=interpret,
+        )
+    else:
+        y = jnp.dot(x2.astype(sk.values.dtype), sk.values, precision=_prec(x2))
+    return y.reshape(*lead, *sk.out_shape)
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:

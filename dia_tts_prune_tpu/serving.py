@@ -11,7 +11,10 @@ ask for: concurrent requests are coalesced into one
 Design:
 * requests enqueue with a compatibility key — the sampling configuration
   that is shared (trace-static or whole-batch) in the batched loop:
-  (max_tokens, cfg_scale, temperature, top_p, cfg_filter_top_k, seed);
+  (max_tokens, cfg_scale, temperature, top_p, cfg_filter_top_k).  Seeds are
+  NOT part of the key: every stream samples from its own PRNG chain inside
+  the batched loop, so a seeded request returns the same audio as its
+  single-stream run no matter which requests share the batch;
 * a single worker thread takes the oldest request, waits up to
   ``max_wait_ms`` for compatible companions (bounded added latency), and
   executes the group — ``Dia.generate`` for a lone request (the
@@ -77,13 +80,14 @@ class DynamicBatcher:
     ) -> np.ndarray | None:
         """Blocking generate; safe to call from many threads concurrently.
 
-        Requests whose (max_tokens, cfg_scale, temperature, top_p, top_k,
-        seed) match may share one batched decode; mismatched requests are
-        simply processed in their own groups."""
+        Requests whose (max_tokens, cfg_scale, temperature, top_p, top_k)
+        match may share one batched decode; mismatched requests are simply
+        processed in their own groups.  Seeds are per-stream inside the
+        batched loop, so they never split groups."""
         if not self._running:
             raise RuntimeError("batcher is shut down")
         key = (int(max_tokens), float(cfg_scale), float(temperature),
-               float(top_p), int(cfg_filter_top_k), seed)
+               float(top_p), int(cfg_filter_top_k))
         req = _Request(
             text=text, key=key,
             kwargs=dict(max_tokens=int(max_tokens), cfg_scale=float(cfg_scale),
@@ -153,6 +157,7 @@ class DynamicBatcher:
             else:
                 self.stats["batched_requests"] += len(group)
                 kw = dict(group[0].kwargs)
+                kw.pop("seed", None)  # seeds are per-stream, not whole-batch
                 prompts = [r.audio_prompt for r in group]
                 ptexts = [r.audio_prompt_text for r in group]
                 have_prompts = any(p is not None for p in prompts)
@@ -160,6 +165,7 @@ class DynamicBatcher:
                     [r.text for r in group],
                     audio_prompts=prompts if have_prompts else None,
                     audio_prompt_texts=ptexts if have_prompts else None,
+                    seeds=[r.kwargs.get("seed") for r in group],
                     **kw)
                 for r, out in zip(group, outs):
                     r.result = out

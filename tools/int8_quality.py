@@ -27,46 +27,39 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--tiny", action="store_true")
-    p.add_argument("--steps", type=int, default=256)
-    p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args(argv)
+DEFAULT_TEXT = (
+    "[S1] Quality comparison of int8 and bfloat16 weights. [S2] Same seed, greedy decode."
+)
 
+
+def compare(params, config, steps: int = 256, seed: int = 0,
+            text: str = DEFAULT_TEXT, weights_label: str = "random") -> dict:
+    """int8-vs-bf16 quality delta for the GIVEN params (random or real).
+
+    Runs greedy decode under both weight formats plus a teacher-forced
+    per-step logit comparison; returns the metrics dict.  Called standalone
+    on random weights (main below) and as a stage of
+    tools/validate_real_checkpoint.py the moment real weights are reachable.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
-
-    from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
     from dia_tts_prune_tpu.generate import DiaGenerator
-    from dia_tts_prune_tpu.models.dia import init_params
     from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
-    config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
-    steps = min(args.steps, config.data.audio_length - 32)
-    dtype = jnp.bfloat16
-    params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
     params_q = quantize_params_int8_packed(params)
-
-    text = "[S1] Quality comparison of int8 and bfloat16 weights. [S2] Same seed, greedy decode."
+    steps = min(steps, config.data.audio_length - 32)
     max_tokens = steps + config.data.max_delay + 2
 
     gen_bf = DiaGenerator(params, config, "bfloat16")
     gen_q = DiaGenerator(params_q, config, "bfloat16")
 
     out_bf = np.asarray(gen_bf.generate_tokens(
-        text, max_tokens=max_tokens, temperature=0.0, seed=args.seed,
+        text, max_tokens=max_tokens, temperature=0.0, seed=seed,
         cache_len=max_tokens))
     out_q = np.asarray(gen_q.generate_tokens(
-        text, max_tokens=max_tokens, temperature=0.0, seed=args.seed,
+        text, max_tokens=max_tokens, temperature=0.0, seed=seed,
         cache_len=max_tokens))
 
     n = min(out_bf.shape[0], out_q.shape[0])
@@ -85,7 +78,7 @@ def main(argv=None):
 
     d = config.data
     tf_n = min(max(n, 16), 64)
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(seed)
     tgt = jnp.asarray(rng.integers(0, d.audio_eos_value, (1, tf_n, d.channels), dtype=np.int32))
     ids = jnp.asarray(encode_text(text, config.data.text_length)[None])
     enc_padding = ids != d.text_pad_value
@@ -107,15 +100,40 @@ def main(argv=None):
     rel = np.abs(logits_q - logits_bf)
     scale = np.abs(logits_bf).mean() + 1e-9
 
-    print(json.dumps({
+    return {
         "metric": "int8_quality_vs_bf16",
         "greedy_token_agreement": round(agree, 4),
         "first_divergence_step": div,
         "rows_compared": int(n),
         "teacher_forced_argmax_agreement": round(tf_agree, 4),
         "teacher_forced_mean_abs_logit_delta_rel": round(float(rel.mean() / scale), 5),
-        "weights": "random",
-    }))
+        "weights": weights_label,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
+    from dia_tts_prune_tpu.models.dia import init_params
+
+    config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
+    params = init_params(config, jax.random.PRNGKey(args.seed), jnp.bfloat16)
+    print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed)))
 
 
 if __name__ == "__main__":

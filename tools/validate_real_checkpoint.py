@@ -21,7 +21,10 @@ Stages (each skipped gracefully with a reason if its inputs are missing):
 4. **reference** — if torch + the reference repo are importable, run the
    quirk-patched reference loop (tests/ref_loader.py) with the same prompt
    and assert token-exact fp32 parity; report the first divergence if any.
-5. **report**   — one JSON line summarizing pass/skip per stage.
+5. **int8_quality** — the quality gate for the int8 serving default at real
+   weights: greedy-token agreement + teacher-forced logit delta vs bf16
+   (tools/int8_quality.compare).
+6. **report**   — one JSON line summarizing pass/skip per stage.
 
 Usage:
     python tools/validate_real_checkpoint.py \
@@ -186,6 +189,22 @@ def main() -> int:
 
     if dia is not None and (out_dir / "tokens_greedy.npz").exists():
         ref_parity()
+
+    @stage(report, "int8_quality")
+    def int8_quality():
+        """Quality gate for the int8 TPU serving default at REAL weights:
+        greedy-token agreement + teacher-forced logit delta vs bf16
+        (tools/int8_quality.py — its random-weight numbers are the worst
+        case; this stage produces the decision-grade ones)."""
+        from int8_quality import compare  # noqa: E402 — same tools/ dir
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        return compare(dia.params, dia.config, steps=min(args.max_tokens, 256),
+                       seed=args.seed, weights_label="real")
+
+    if dia is not None:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        int8_quality()
 
     ok = all(v.get("ok") for v in report.values() if isinstance(v, dict))
     report["all_ok"] = ok
