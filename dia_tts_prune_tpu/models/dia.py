@@ -475,6 +475,7 @@ def decode_step_scan(
     cross_attn_mask: jax.Array | None,
     compute_dtype=jnp.float32,
     valid_from: jax.Array | None = None,  # int32 [B]: first valid cache slot
+    n_layers: int | None = None,  # static: run only the FIRST n layers (early exit)
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step`` with layers scanned instead of unrolled.
 
@@ -485,6 +486,11 @@ def decode_step_scan(
     adds the current token's contribution analytically, and emits only its
     one-step K/V; a single stacked ``dynamic_update_slice`` commits all
     layers' K/V after the scan.
+
+    ``n_layers`` truncates the stack to an early-exit draft model
+    (speculative.py layer-skip self-draft): only the first ``n_layers``
+    layers run and only their cache slots are written; the shared final norm
+    + logits head produce the draft distribution.
     """
     m = config.model
     dec = m.decoder
@@ -493,6 +499,13 @@ def decode_step_scan(
     Tmax = self_cache.k.shape[2]
     H = dec.gqa_head_dim
     scale = 1.0 / math.sqrt(H)
+
+    layer_params = params["decoder"]["layers"]
+    sck, scv, crk, crv = self_cache.k, self_cache.v, cross_cache.k, cross_cache.v
+    if n_layers is not None:
+        layer_params = jax.tree.map(lambda a: a[:n_layers], layer_params)
+        sck, scv, crk, crv = (sck[:n_layers], scv[:n_layers],
+                              crk[:n_layers], crv[:n_layers])
 
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
 
@@ -548,11 +561,7 @@ def decode_step_scan(
         x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
         return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
 
-    x, (ks, vs) = jax.lax.scan(
-        layer_fn, x,
-        (params["decoder"]["layers"], self_cache.k, self_cache.v,
-         cross_cache.k, cross_cache.v),
-    )
+    x, (ks, vs) = jax.lax.scan(layer_fn, x, (layer_params, sck, scv, crk, crv))
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(
             self_cache.k, ks, (0, 0, write_slot.astype(jnp.int32), 0, 0)
@@ -560,6 +569,112 @@ def decode_step_scan(
         v=jax.lax.dynamic_update_slice(
             self_cache.v, vs, (0, 0, write_slot.astype(jnp.int32), 0, 0)
         ),
+    )
+    x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
+    logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def decode_window(
+    params: Params,
+    config: DiaConfig,
+    tgt_BxWxC: jax.Array,  # [B, W, C] token rows [s, s+W)
+    start_row: jax.Array,  # scalar int32 s: first window row (= first write slot)
+    self_cache: KVCache,
+    cross_cache: KVCache,
+    cross_attn_mask: jax.Array | None,  # bool [B, 1, 1, S]
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, KVCache]:
+    """W-token teacher-forced decode at a dynamic cache offset — the
+    speculative-decoding VERIFY pass (speculative.py).
+
+    Window row ``s+i`` replays the loop's step ``t = s+i+1`` exactly: RoPE
+    position ``t``, KV written to slot ``s+i``, attention over cache slots
+    ``<= s+i`` (prefix read from the buffer, within-window part computed
+    analytically with a shared running max — same two-part softmax as
+    ``decode_step_scan``, generalized from 1 to W query tokens).  One pass
+    produces the full model's logits for the W drafted positions, so W
+    tokens are verified for one stack of weight reads — the weight-bandwidth
+    economics that make self-drafted speculation pay on TPU.
+
+    Returns (logits [B, W, C, V] fp32, cache with slots [s, s+W) committed).
+    """
+    m = config.model
+    dec = m.decoder
+    eps = m.normalization_layer_epsilon
+    B, W = tgt_BxWxC.shape[:2]
+    Tmax = self_cache.k.shape[2]
+    H = dec.gqa_head_dim
+    scale = 1.0 / math.sqrt(H)
+
+    x = _embed_channels(params, tgt_BxWxC, compute_dtype)  # [B, W, D]
+    # loop-step parity: row r carries RoPE position r+1 (the step index that
+    # consumes it — see generate.py loop body / reference prepare_step)
+    positions = (start_row + 1 + jnp.arange(W, dtype=jnp.int32))[None]  # [1, W]
+    positions = jnp.broadcast_to(positions, (B, W))
+
+    slot_ids = jnp.arange(Tmax, dtype=jnp.int32)
+    prefix_mask = (slot_ids[None, :] < start_row)[None, None, :, :]  # [1,1,1,Tmax]→bcast [*,W,Tmax]
+    win_causal = jnp.tril(jnp.ones((W, W), jnp.bool_))[None, None]  # row i sees slots s..s+i
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+
+    def layer_fn(x, xs):
+        lp, kc, vc, ck, cv = xs  # per-layer cache slices [B, T, N, H]
+        h = rms_norm(x, lp["pre_sa_norm"]["scale"], eps)
+        q, k_new, v_new = attention_qkv(
+            lp["self_attention"], h, h, positions, positions,
+            m.rope_min_timescale, m.rope_max_timescale,
+        )  # q [B,W,Nq,H], k/v [B,W,Nkv,H]
+        Nq, Nkv = q.shape[2], k_new.shape[2]
+        G = Nq // Nkv
+        qg = q.reshape(B, W, Nkv, G, H)
+        # prefix: cache slots < s (stale slots >= s masked out)
+        s_pre = jnp.einsum(
+            "btngh,bsnh->bngts", qg, kc.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [B,Nkv,G,W,Tmax]
+        s_pre = jnp.where(prefix_mask[:, :, None, :, :], s_pre, neg)
+        # within-window causal part against the fresh K
+        s_win = jnp.einsum(
+            "btngh,bwnh->bngtw", qg, k_new.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [B,Nkv,G,W,W]
+        s_win = jnp.where(win_causal[:, :, None], s_win, neg)
+        m_all = jnp.maximum(
+            jnp.max(s_pre, axis=-1, keepdims=True), jnp.max(s_win, axis=-1, keepdims=True)
+        )
+        m_all = jnp.maximum(m_all, neg * 0.5)  # guard fully-masked rows (i=0, s=0)
+        p_pre = jnp.exp(s_pre - m_all)
+        p_win = jnp.exp(s_win - m_all)
+        denom = jnp.sum(p_pre, -1, keepdims=True) + jnp.sum(p_win, -1, keepdims=True)
+        acc = jnp.einsum("bngts,bsnh->btngh", p_pre.astype(compute_dtype),
+                         vc.astype(compute_dtype))
+        acc = acc + jnp.einsum("bngtw,bwnh->btngh", p_win.astype(compute_dtype),
+                               v_new.astype(compute_dtype))
+        denom_t = denom[..., 0].transpose(0, 3, 1, 2)[..., None]  # [B,W,Nkv,G,1]
+        sa = (acc / jnp.maximum(denom_t, 1e-30)).astype(compute_dtype).reshape(B, W, Nq, H)
+        x = x + attention_out(lp["self_attention"], sa).astype(x.dtype)
+
+        h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
+        cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
+        cq = rope(cq, positions, m.rope_min_timescale, m.rope_max_timescale)
+        ca = sdpa(cq, ck, cv, cross_attn_mask)
+        x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
+
+        h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
+        x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
+        return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
+
+    x, (ks, vs) = jax.lax.scan(
+        layer_fn, x,
+        (params["decoder"]["layers"], self_cache.k, self_cache.v,
+         cross_cache.k, cross_cache.v),
+    )
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            self_cache.k, ks, (0, 0, start_row.astype(jnp.int32), 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            self_cache.v, vs, (0, 0, start_row.astype(jnp.int32), 0, 0)),
     )
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
