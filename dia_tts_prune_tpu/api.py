@@ -421,6 +421,17 @@ class Dia:
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
         return sparsity_summary(self.params)
 
+    def sparsify_block(self, block: tuple[int, int] = (256, 256)) -> dict:
+        """Pack the EXISTING zero blocks of already-pruned weights (e.g. a
+        checkpoint written by ``offline_prune --prune-mode block``) into
+        BlockSparseKernels — no additional pruning.  Returns the per-module
+        block-density summary."""
+        from .ops.sparse import sparsify_params_block, sparsity_summary
+
+        self.params = sparsify_params_block(self.params, block_k=block[0], block_n=block[1])
+        self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+        return sparsity_summary(self.params)
+
     def load_adapter_weights(self, adapter_path: str | Path, fuse: bool = True) -> None:
         """Load a LoRA adapter and fuse it into the base weights (reference
         intent: dia/model.py:598-628; our adapters are native — see lora.py).

@@ -104,3 +104,18 @@ def test_api_prune_block_sparse():
     assert summary and min(summary.values()) < 1.0
     out = dia.generate_codes("[S1] pruned api", max_tokens=32, temperature=0.0)
     assert out.shape[0] > 0
+
+
+def test_api_sparsify_prepruned_checkpoint(pruned_setup):
+    """offline_prune-style flow: already-zero-masked params → sparsify_block
+    packs the existing zeros without further pruning; tokens match the
+    masked-dense run."""
+    from dia_tts_prune_tpu import Dia
+
+    cfg, pruned, _ = pruned_setup
+    dia = Dia(cfg, pruned)
+    dense_out = dia.generate_codes("[S1] prepruned", max_tokens=40, temperature=0.0)
+    summary = dia.sparsify_block(block=BLOCK)
+    assert min(summary.values()) < 1.0
+    sparse_out = dia.generate_codes("[S1] prepruned", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(dense_out, sparse_out)
