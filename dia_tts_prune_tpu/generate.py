@@ -172,6 +172,7 @@ def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
         logits, new_cache = _decode_step_fn(params)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
+            skip_uncond_cross=True,  # CFG uncond rows are fully masked: exact
         )  # [2, 1, C, V]
         guided = cfg_combine(logits[:, -1], cfg_scale)  # [C, V]
         guided = apply_constraints(guided, eos, pad, d.audio_bos_value)
@@ -504,7 +505,7 @@ def generate_fused_batch(
         logits, new_cache = _decode_step_fn(params, batch=True)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             s.cache, cross_cache, cross_mask, compute_dtype,
-            valid_from=valid_from2,
+            valid_from=valid_from2, skip_uncond_cross=True,
         )  # [2N, 1, C, V]
         uncond = logits[:N, 0]
         cond_l = logits[N:, 0]

@@ -390,8 +390,18 @@ def decode_step(
     cross_attn_mask: jax.Array | None,  # bool [B, 1, 1, S]
     compute_dtype=jnp.float32,
     valid_from: jax.Array | None = None,  # int32 [B]: first valid cache slot
+    skip_uncond_cross: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Single autoregressive decode step (reference: dia/layers.py:671-720).
+
+    ``skip_uncond_cross``: the generation loops run a CFG batch whose first
+    half is the UNCONDITIONAL rows — all-padding text, so their
+    cross-attention mask is all-False and the output is exactly zero (the
+    masked-softmax exact-zero property, ops/modules.py::sdpa).  Setting this
+    skips the cross-attention compute AND the cross-cache key/value reads for
+    that half — on the bandwidth-bound decode path the skipped reads are
+    ~38 MB/step at a 256-token text bucket — and writes the zeros directly.
+    Bit-exact with the unskipped path.
 
     The hot per-token path: 9 embedding lookups summed, L decoder blocks with
     cached self-attention over slots [0, write_slot], static cross-attention,
@@ -453,7 +463,13 @@ def decode_step(
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
         cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
         cq = rope(cq, position, m.rope_min_timescale, m.rope_max_timescale)
-        ca = sdpa(cq, cross_cache.k[i], cross_cache.v[i], cross_attn_mask)
+        if skip_uncond_cross:
+            Bh = B // 2
+            ca_c = sdpa(cq[Bh:], cross_cache.k[i][Bh:], cross_cache.v[i][Bh:],
+                        cross_attn_mask[Bh:] if cross_attn_mask is not None else None)
+            ca = jnp.concatenate([jnp.zeros_like(ca_c), ca_c], axis=0)
+        else:
+            ca = sdpa(cq, cross_cache.k[i], cross_cache.v[i], cross_attn_mask)
         x = x + attention_out(lp["cross_attention"], ca)
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
@@ -476,6 +492,7 @@ def decode_step_scan(
     compute_dtype=jnp.float32,
     valid_from: jax.Array | None = None,  # int32 [B]: first valid cache slot
     n_layers: int | None = None,  # static: run only the FIRST n layers (early exit)
+    skip_uncond_cross: bool = False,  # see decode_step — exact CFG-half skip
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step`` with layers scanned instead of unrolled.
 
@@ -554,7 +571,13 @@ def decode_step_scan(
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
         cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
         cq = rope(cq, position, m.rope_min_timescale, m.rope_max_timescale)
-        ca = sdpa(cq, ck, cv, cross_attn_mask)
+        if skip_uncond_cross:
+            Bh = B // 2
+            ca_c = sdpa(cq[Bh:], ck[Bh:], cv[Bh:],
+                        cross_attn_mask[Bh:] if cross_attn_mask is not None else None)
+            ca = jnp.concatenate([jnp.zeros_like(ca_c), ca_c], axis=0)
+        else:
+            ca = sdpa(cq, ck, cv, cross_attn_mask)
         x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
@@ -584,6 +607,7 @@ def decode_window(
     cross_cache: KVCache,
     cross_attn_mask: jax.Array | None,  # bool [B, 1, 1, S]
     compute_dtype=jnp.float32,
+    skip_uncond_cross: bool = False,  # see decode_step — exact CFG-half skip
 ) -> tuple[jax.Array, KVCache]:
     """W-token teacher-forced decode at a dynamic cache offset — the
     speculative-decoding VERIFY pass (speculative.py).
@@ -658,7 +682,13 @@ def decode_window(
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
         cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
         cq = rope(cq, positions, m.rope_min_timescale, m.rope_max_timescale)
-        ca = sdpa(cq, ck, cv, cross_attn_mask)
+        if skip_uncond_cross:
+            Bh = B // 2
+            ca_c = sdpa(cq[Bh:], ck[Bh:], cv[Bh:],
+                        cross_attn_mask[Bh:] if cross_attn_mask is not None else None)
+            ca = jnp.concatenate([jnp.zeros_like(ca_c), ca_c], axis=0)
+        else:
+            ca = sdpa(cq, ck, cv, cross_attn_mask)
         x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
@@ -692,6 +722,8 @@ def decode_step_fused(
     cross_attn_mask: jax.Array,  # bool [B, 1, 1, S]
     compute_dtype=jnp.float32,
     valid_from: jax.Array | None = None,
+    skip_uncond_cross: bool = False,  # accepted for step-fn API parity; the
+    # fused kernel's own masking already yields the exact uncond zeros
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step_scan`` semantics via the single-Pallas-call fused kernel.
 

@@ -155,7 +155,7 @@ def spec_window(
         logits, cache = decode_step_scan(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
             cache, cross_cache, cross_mask, compute_dtype,
-            n_layers=n_draft_layers,
+            n_layers=n_draft_layers, skip_uncond_cross=True,
         )
         guided = cfg_combine(logits[:, -1], cfg_scale)
         guided = apply_constraints(guided, eos, d.audio_pad_value, d.audio_bos_value)
@@ -177,7 +177,7 @@ def spec_window(
     tgt = jnp.broadcast_to(rows[None], (CFG_BATCH, W, C))
     v_logits, cache = decode_window(
         params, config, tgt, (t0 - 1).astype(jnp.int32),
-        cache, cross_cache, cross_mask, compute_dtype,
+        cache, cross_cache, cross_mask, compute_dtype, skip_uncond_cross=True,
     )  # [2, W, C, V]
     guided = v_logits[1] + cfg_scale * (v_logits[1] - v_logits[0])  # [W, C, V]
     guided = jax.vmap(
@@ -254,7 +254,8 @@ def decode_step_scan_window_q(params, config, tgt, start_row, cache,
     sub_cache = KVCache(k=cache.k[:n_layers], v=cache.v[:n_layers])
     sub_cross = KVCache(k=cross_cache.k[:n_layers], v=cross_cache.v[:n_layers])
     logits, _ = decode_window(sliced, config, tgt, start_row, sub_cache,
-                              sub_cross, cross_mask, compute_dtype)
+                              sub_cross, cross_mask, compute_dtype,
+                              skip_uncond_cross=True)
     return logits, None
 
 

@@ -170,3 +170,47 @@ def test_checkpoint_round_trip(ref_setup):
     back = convert_torch_state_dict(sd, jcfg)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_skip_uncond_cross_is_exact():
+    """The CFG uncond-half cross-attention skip (decode-step bandwidth
+    optimization) must be bit-exact: the uncond rows' cross outputs are
+    exactly zero under the all-False mask, so skipping the compute + cache
+    reads changes nothing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.models.dia import (
+        decode_step, decode_step_scan, decode_window, init_params,
+        new_self_cache, precompute_cross_cache,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    d = cfg.data
+    B, S = 2, 32
+    enc_out = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.model.encoder.n_embd))
+    enc_pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    cross = precompute_cross_cache(params, cfg, enc_out, enc_pos)
+    # CFG structure: row 0 (uncond) fully masked, row 1 attends everything
+    cmask = jnp.stack([jnp.zeros((S,), bool), jnp.ones((S,), bool)])[:, None, None, :]
+    cache = new_self_cache(cfg, B, max_len=64)
+    tgt = jnp.full((B, 1, d.channels), 42, jnp.int32)
+    pos = jnp.full((B, 1), 3, jnp.int32)
+    slot = jnp.asarray(2, jnp.int32)
+
+    for fn in (decode_step, decode_step_scan):
+        base, c0 = fn(params, cfg, tgt, pos, slot, cache, cross, cmask)
+        fast, c1 = fn(params, cfg, tgt, pos, slot, cache, cross, cmask,
+                      skip_uncond_cross=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(fast))
+        np.testing.assert_array_equal(np.asarray(c0.k), np.asarray(c1.k))
+
+    rows = jnp.full((B, 4, d.channels), 42, jnp.int32)
+    base, _ = decode_window(params, cfg, rows, jnp.asarray(2, jnp.int32),
+                            cache, cross, cmask)
+    fast, _ = decode_window(params, cfg, rows, jnp.asarray(2, jnp.int32),
+                            cache, cross, cmask, skip_uncond_cross=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(fast))

@@ -1,0 +1,148 @@
+"""Does XLA fuse int4→bf16 weight converts into the dot's operand read the
+way it does for int8?  If yes, weight-only int4 halves the decode loop's
+dominant HBM traffic again (int8 already streams 1.26 GB/step).
+
+Measures a GEMV chain shaped like the 18-layer decoder MLP (the decode
+bottleneck): x[2, D] @ W[D, F] @ Wo[F, D] per layer, weights in bf16 / int8 /
+int4 (per-column scales) / int4 grouped (per-[G,N]-group scales, the
+quality-preserving layout).
+
+Run:  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python tools/microbench_int4.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--d", type=int, default=2048)
+    p.add_argument("--f", type=int, default=8192)
+    p.add_argument("--group", type=int, default=128)
+    p.add_argument("--iters", type=int, nargs=2, default=[32, 128])
+    args = p.parse_args()
+
+    import os
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    L, D, F, G = args.layers, args.d, args.f, args.group
+    key = jax.random.PRNGKey(0)
+    w1 = jax.random.normal(key, (L, D, F), jnp.float32) * 0.02
+    w2 = jax.random.normal(key, (L, F, D), jnp.float32) * 0.02
+
+    def pack_int8(w):
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def pack_int4(w):
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 7.0
+        q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int4)
+        return q, s
+
+    def pack_int4_grouped(w):
+        # w [L, K, N] → groups of G along K with their own scale
+        Lw, K, N = w.shape
+        wg = w.reshape(Lw, K // G, G, N)
+        s = jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0  # [L, K/G, 1, N]
+        q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int4)
+        return q, s
+
+    q1_8, s1_8 = pack_int8(w1)
+    q2_8, s2_8 = pack_int8(w2)
+    q1_4, s1_4 = pack_int4(w1)
+    q2_4, s2_4 = pack_int4(w2)
+    q1_4g, s1_4g = pack_int4_grouped(w1)
+    q2_4g, s2_4g = pack_int4_grouped(w2)
+    w1_bf = w1.astype(jnp.bfloat16)
+    w2_bf = w2.astype(jnp.bfloat16)
+
+    def chain_bf16(x, _):
+        def layer(x, ws):
+            a, b = ws
+            h = jnp.maximum(x @ a, 0)
+            return (h @ b).astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, (w1_bf, w2_bf))
+        return x
+
+    def chain_q(x, packs):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws
+            h = jnp.maximum((x @ qa.astype(jnp.bfloat16)) * sa.astype(jnp.bfloat16), 0)
+            return ((h @ qb.astype(jnp.bfloat16)) * sb.astype(jnp.bfloat16)).astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
+    def chain_q_grouped(x, packs):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws  # qa [K/G, G, N], sa [K/G, 1, N]
+            xa = x.reshape(x.shape[0], qa.shape[0], G)
+            part = jnp.einsum("bkg,kgn->bkn", xa, qa.astype(jnp.bfloat16))
+            h = jnp.maximum(jnp.einsum("bkn,kn->bn", part, sa[:, 0].astype(jnp.bfloat16)), 0)
+            hb = h.reshape(h.shape[0], qb.shape[0], G)
+            part2 = jnp.einsum("bkg,kgn->bkn", hb, qb.astype(jnp.bfloat16))
+            y = jnp.einsum("bkn,kn->bn", part2, sb[:, 0].astype(jnp.bfloat16))
+            return y.astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
+    x0 = jax.random.normal(key, (2, D), jnp.bfloat16)
+
+    def bench(fn, packs):
+        @jax.jit
+        def run(x, n):
+            return jax.lax.fori_loop(0, n, lambda i, x: fn(x * 0.5, packs), x)
+
+        lo, hi = args.iters
+        ts = {}
+        for n in (lo, hi):
+            jax.block_until_ready(run(x0, n))
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(x0, n))
+                best = min(best, time.perf_counter() - t0)
+            ts[n] = best
+        return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
+
+    out = {"metric": "int4_microbench_ms_per_chain", "layers": L, "d": D, "f": F}
+    out["bf16"] = round(bench(chain_bf16, None), 4)
+    out["int8"] = round(bench(chain_q, (q1_8, s1_8, q2_8, s2_8)), 4)
+    out["int4"] = round(bench(chain_q, (q1_4, s1_4, q2_4, s2_4)), 4)
+    out["int4_grouped"] = round(
+        bench(chain_q_grouped, (q1_4g, s1_4g, q2_4g, s2_4g)), 4)
+    # quality proxy: relative RMS error of the packed formats
+    for name, (q, s, grouped) in {
+        "int8_rms": (q1_8, s1_8, False),
+        "int4_rms": (q1_4, s1_4, False),
+        "int4_grouped_rms": (q1_4g, s1_4g, True),
+    }.items():
+        if grouped:
+            deq = (q.astype(jnp.float32) * s).reshape(w1.shape)
+        else:
+            deq = q.astype(jnp.float32) * s
+        rel = jnp.sqrt(jnp.mean((deq - w1) ** 2)) / jnp.sqrt(jnp.mean(w1 ** 2))
+        out[name] = round(float(rel), 5)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
