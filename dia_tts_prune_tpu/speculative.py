@@ -287,25 +287,32 @@ class SpeculativeGenerator:
         temperature: float = 0.0,
         top_p: float = 0.95,
         cfg_filter_top_k: int = 35,
+        audio_prompt_codes: np.ndarray | None = None,
+        audio_prompt_text: str | None = None,
         seed: int | None = None,
     ) -> np.ndarray:
         cfg = self.config
         d = cfg.data
         max_tokens = d.audio_length if max_tokens is None else min(max_tokens, d.audio_length)
         W = self.window
+        if audio_prompt_codes is not None and not audio_prompt_text:
+            raise ValueError("`audio_prompt_text` is required when `audio_prompt_codes` is provided.")
 
-        effective_text = build_effective_text(text, None)
+        effective_text = build_effective_text(text, audio_prompt_text)
         enc_input = encode_cfg_batch(effective_text, d.text_length, d.text_pad_value)
-        delayed, prefill_step = prepare_audio_prompt(cfg, None)
+        delayed, prefill_step = prepare_audio_prompt(cfg, audio_prompt_codes)
         tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
         tokens_buf[: delayed.shape[0]] = delayed
 
+        window = None
+        if prefill_step > 1:
+            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
             jnp.asarray([prefill_step, _resolve_seed(seed)], jnp.int32),
-            prefill_window=None, compute_dtype_name=self.compute_dtype,
+            prefill_window=window, compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
-            cache_len=_cache_len_for(max_tokens, 0, cfg),
+            cache_len=_cache_len_for(max_tokens, window or 0, cfg),
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)

@@ -124,6 +124,21 @@ def test_greedy_full_draft_always_accepts(tiny_setup):
     assert spec.acceptance_rate == 1.0
 
 
+def test_greedy_token_exact_with_voice_clone(tiny_setup):
+    """Speculative greedy with an audio prompt (prefill) == baseline."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, 1024, (14, 9)).astype(np.int32)
+    kwargs = dict(max_tokens=96, temperature=0.0,
+                  audio_prompt_codes=prompt, audio_prompt_text="[S1] prompt words")
+    base = DiaGenerator(params, cfg)
+    expected = base.generate_tokens("[S2] continue", **kwargs)
+    spec = SpeculativeGenerator(params, cfg, n_draft_layers=1, window=6)
+    got = spec.generate_tokens("[S2] continue", **kwargs)
+    np.testing.assert_array_equal(got, expected)
+    assert spec.stats["windows"] > 0
+
+
 def test_sampled_speculative_runs_valid(tiny_setup):
     """Sampled speculative generation produces valid in-range tokens and
     reports acceptance stats (distributional correctness is covered by the
