@@ -156,6 +156,11 @@ def main(argv=None):
                         help="packed int8 weights (weight-only, upcast-in-dot). "
                         "Default on TPU: report BOTH a bf16 line and an int8 line "
                         "(int8 last = headline). --int8/--no-int8 pins one config.")
+    parser.add_argument("--int4", type=str, default=None,
+                        choices=["full", "hybrid"],
+                        help="packed int4 decoder weights (grouped scales, G=128): "
+                        "'full' = every decoder kernel int4; 'hybrid' = MLP "
+                        "kernels int4 + the rest int8. Single line.")
     parser.add_argument("--batch", type=int, default=1,
                         help="N independent streams decoded in one batched loop")
     parser.add_argument("--pruned", type=str, default="none", choices=PRUNED_MODES,
@@ -198,6 +203,22 @@ def main(argv=None):
         results.append(measure(
             gen, config, args, f"RTF_pruned_{args.pruned}_{size}{suffix}",
             param_count(params), ttfa_cache_len))
+    elif args.int4 is not None:
+        from dia_tts_prune_tpu.ops.quant import (
+            quantize_params_int4_packed,
+            quantize_params_int8_packed,
+        )
+
+        if args.int4 == "full":
+            qparams = quantize_params_int4_packed(params)
+        else:  # hybrid: int4 MLP (57% of layer bytes) + int8 rest
+            qparams = quantize_params_int8_packed(
+                quantize_params_int4_packed(params, mlp_only=True), fused=False)
+        del params
+        gen = DiaGenerator(qparams, config, args.dtype)
+        results.append(measure(
+            gen, config, args, f"RTF_int4-{args.int4}_{size}{suffix}",
+            n_params, ttfa_cache_len))
     else:
         # int8 default: ON for TPU serving (measured +71% tokens/s, docs/PERF.md);
         # dual-report bf16 alongside unless the user pinned a config

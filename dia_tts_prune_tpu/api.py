@@ -401,6 +401,26 @@ class Dia:
         self.params = quantize_params_int8_packed(self.params)
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
 
+    def quantize_int4(self, group: int | None = 128, mlp_only: bool = False) -> None:
+        """Swap decoder dense kernels to packed int4 (grouped scales).
+
+        Quarter-byte weight streaming on the bandwidth-bound decode loop —
+        half the int8 path's HBM bytes again.  ``group`` rows of each
+        contraction share one scale per output column (128 keeps the 4-bit
+        error local; ``None`` = per-column, int8-granularity).  ``mlp_only``
+        packs just the MLP kernels at int4 and the remaining decoder kernels
+        at int8 — the hybrid config: MLP weights are ~57% of per-layer bytes
+        and the least quantization-sensitive population.  Quality/perf
+        numbers: docs/PERF.md; quality proxy tool: tools/int8_quality.py
+        ``--mode int4|hybrid``."""
+        from .ops.quant import quantize_params_int4_packed, quantize_params_int8_packed
+
+        self.params = quantize_params_int4_packed(
+            self.params, group=group, mlp_only=mlp_only)
+        if mlp_only:
+            self.params = quantize_params_int8_packed(self.params, fused=False)
+        self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
+
     def prune_block_sparse(self, amount: float, block: tuple[int, int] = (256, 256)) -> dict:
         """Block-granular magnitude pruning wired into inference.
 

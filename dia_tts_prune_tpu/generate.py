@@ -123,12 +123,14 @@ def _decode_step_fn(params=None, batch: bool = False):
 
 
 def _params_are_packed_int8(params) -> bool:
-    """True if the decoder's dense kernels are stored packed (int8 + scales)."""
+    """True if the decoder's dense kernels are stored packed (int8/int4 +
+    scales) — both pick the scan-over-layers step (the layout XLA fuses the
+    upcast into, docs/PERF.md)."""
     try:
         k = params["decoder"]["layers"]["mlp"]["wo"]["kernel"]
     except (KeyError, TypeError):
         return False
-    return type(k).__name__ == "QuantizedKernel"
+    return type(k).__name__ in ("QuantizedKernel", "Quantized4Kernel")
 
 
 def _params_are_block_sparse(params) -> bool:

@@ -1,0 +1,65 @@
+"""int4-weight matmul variants for the bandwidth-bound decode path.
+
+Same playbook as the int8 path (int8_matmul.py): per-token decoding at
+batch≈2 is a GEMV whose cost is weight bytes / HBM bandwidth, so int4
+storage halves the traffic *again* versus int8 — IF the contraction consumes
+the int4 values directly (XLA fusing the int4→bf16 convert into the dot's
+operand load) instead of materializing a dequantized copy.
+
+Two layouts:
+
+* **plain** — values ``int4 [K, N]`` with one scale per output column.
+  Structurally identical to ``int8_matmul_upcast``; cheapest metadata but a
+  single scale must cover the whole column (coarse at 4 bits).
+* **grouped** — values ``int4 [K//G, G, N]`` with a scale per
+  ``(group, column)`` pair (G = 128 by default).  The quality-preserving
+  layout (error is localized per 128-row group); the contraction becomes a
+  per-group partial-dot + scaled reduction.
+
+The reference has no 4-bit story at all (its int8 path is a no-op on the
+transformer, quirk Q7 — /root/reference/app.py:51-63); this module exists
+for the TPU serving headline where weight streaming is the entire decode
+cost (docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def int4_matmul_upcast(x, w_q, scale):
+    """Plain layout: x [B, K] @ w_q int4 [K, N], scale f32 [N].
+
+    The int4→activation-dtype convert sits inside the dot so XLA can fuse it
+    into the operand load — int4 HBM bytes, bf16 MXU math, activations never
+    quantized (same contract as ``int8_matmul_upcast``)."""
+    w = w_q.astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (y * scale[None, :]).astype(x.dtype)
+
+
+def int4_matmul_grouped(x, w_q, scale):
+    """Grouped layout: x [B, K], w_q int4 [K//G, G, N], scale f32 [K//G, N].
+
+    Contract each G-row group against its own int4 block, then reduce the
+    per-group partials with their scales:  y[b,n] = Σ_k s[k,n]·(x_k · W_k)[b,n].
+    """
+    n_groups, G, N = w_q.shape
+    x3 = x.reshape(x.shape[0], n_groups, G)
+    part = jnp.einsum(
+        "bkg,kgn->bkn", x3, w_q.astype(x.dtype),
+        preferred_element_type=jnp.float32)
+    y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
+def int4_matmul_reference(x, w_q, scale):
+    """Dequantize-then-dot (numerics reference for both layouts)."""
+    if w_q.ndim == 3:
+        n_groups, G, N = w_q.shape
+        w = (w_q.astype(jnp.float32) * scale[:, None, :]).reshape(n_groups * G, N)
+    else:
+        w = w_q.astype(jnp.float32) * scale[None, :]
+    return jnp.dot(
+        x.astype(jnp.float32), w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)

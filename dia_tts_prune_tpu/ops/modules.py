@@ -56,6 +56,8 @@ def dense_general(x: jax.Array, kernel, axis: tuple[int, ...] = (-1,)) -> jax.Ar
     """
     if type(kernel).__name__ == "QuantizedKernel":
         return _dense_general_q(x, kernel, axis)
+    if type(kernel).__name__ == "Quantized4Kernel":
+        return _dense_general_q4(x, kernel, axis)
     if type(kernel).__name__ == "BlockSparseKernel":
         return _dense_general_sparse(x, kernel, axis)
     norm_axis = tuple(ax if ax >= 0 else x.ndim + ax for ax in axis)
@@ -63,6 +65,31 @@ def dense_general(x: jax.Array, kernel, axis: tuple[int, ...] = (-1,)) -> jax.Ar
     x = x.astype(kernel.dtype)
     out = jnp.tensordot(x, kernel, axes=(norm_axis, kernel_axes), precision=_prec(x))
     return out
+
+
+def _dense_general_q4(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
+    """int4-kernel contraction (weight-only, plain or grouped scales).
+
+    Mirrors ``_dense_general_q``: values are pre-flattened so the int4→bf16
+    convert can fuse into the dot's HBM operand read (plain layout) or the
+    per-group partial-dot reduction (grouped layout) — int4 HBM bytes,
+    bf16 MXU math, activations never quantized."""
+    import math as _math
+
+    n_in = len(axis)
+    if n_in != len(qk.in_shape):
+        raise ValueError(
+            f"kernel packed for {len(qk.in_shape)} contraction axes, called with {n_in}")
+    K = _math.prod(qk.in_shape)
+    lead = x.shape[: x.ndim - n_in]
+    x2 = x.reshape(-1, K)
+    from .kernels.int4_matmul import int4_matmul_grouped, int4_matmul_upcast
+
+    if qk.group is None:
+        y = int4_matmul_upcast(x2, qk.values, qk.scale.reshape(-1))
+    else:
+        y = int4_matmul_grouped(x2, qk.values, qk.scale)
+    return y.reshape(*lead, *qk.out_shape)
 
 
 def _use_pallas_int8() -> bool:

@@ -148,10 +148,13 @@ def quantize_params_int8_packed(
             from .kernels.fused_step import repack_decoder_fused
 
             fused_pack = repack_decoder_fused(params)
-        except (KeyError, TypeError):
-            fused_pack = None  # pruned/nonstandard layouts: fused path unavailable
+        except (KeyError, TypeError, AttributeError):
+            fused_pack = None  # pruned/packed/nonstandard layouts: unavailable
 
     def pk(w, path):
+        if type(w).__name__ in ("QuantizedKernel", "Quantized4Kernel",
+                                "BlockSparseKernel"):
+            return w  # already packed (e.g. int4-MLP hybrid composition)
         return quantize_int8(w, **_quant_args_for(path))
 
     if scope is not None and scope in params:
@@ -162,6 +165,119 @@ def quantize_params_int8_packed(
     if fused_pack is not None:
         out["decoder"] = dict(out["decoder"])
         out["decoder"]["fused_pack"] = fused_pack
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class Quantized4Kernel:
+    """Packed int4 dense kernel (weight-only, grouped or per-column scales).
+
+    values: int4 — plain ``[K, N]`` (group=None) or grouped ``[K//G, G, N]``;
+    stacked per-layer trees carry a leading L axis on values and scales.
+    scale: f32 — ``[N]`` plain / ``[K//G, N]`` grouped (``[L, ...]`` stacked).
+    in_shape/out_shape: logical kernel dims (static aux data, like
+    ``QuantizedKernel``).  group: the contraction-group size or None.
+    """
+
+    __slots__ = ("values", "scale", "in_shape", "out_shape", "group")
+
+    def __init__(self, values, scale, in_shape, out_shape, group):
+        self.values = values
+        self.scale = scale
+        self.in_shape = tuple(in_shape)
+        self.out_shape = tuple(out_shape)
+        self.group = group
+
+    def tree_flatten(self):
+        return (self.values, self.scale), (self.in_shape, self.out_shape, self.group)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    def __repr__(self):
+        return (f"Quantized4Kernel(values={getattr(self.values, 'shape', None)}, "
+                f"group={self.group}, in_shape={self.in_shape}, "
+                f"out_shape={self.out_shape})")
+
+
+def quantize_int4(
+    w: jax.Array, n_in: int = 1, stacked: bool = False, group: int | None = 128
+) -> Quantized4Kernel:
+    """Symmetric int4: q = round(w / s) ∈ [-7, 7].
+
+    ``group`` — rows of the contracted K axis sharing one scale per output
+    column (the quality-preserving layout at 4 bits: error stays local to a
+    128-row group).  ``group=None`` uses one scale per column, the same
+    granularity as the int8 path.  K must divide by ``group``.
+    """
+    lead = w.shape[:1] if stacked else ()
+    in_shape = w.shape[len(lead): len(lead) + n_in]
+    out_shape = w.shape[len(lead) + n_in:]
+    K = math.prod(in_shape)
+    N = math.prod(out_shape)
+    w2 = w.astype(jnp.float32).reshape(*lead, K, N)
+    if group is None:
+        absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)  # [*, 1, N]
+        scale = jnp.maximum(absmax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(w2 / scale), -7, 7).astype(jnp.int4)
+        return Quantized4Kernel(q, scale.reshape(*lead, N), in_shape, out_shape, None)
+    group = min(group, K)
+    if K % group:
+        # indivisible contraction (tiny/pruned shapes): per-column scales
+        absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(w2 / scale), -7, 7).astype(jnp.int4)
+        return Quantized4Kernel(q, scale.reshape(*lead, N), in_shape, out_shape, None)
+    wg = w2.reshape(*lead, K // group, group, N)
+    absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # [*, K//G, 1, N]
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    return Quantized4Kernel(
+        q, scale.reshape(*lead, K // group, N), in_shape, out_shape, group)
+
+
+def dequantize4(qk: Quantized4Kernel, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the kernel at its logical shape."""
+    v = qk.values.astype(jnp.float32)
+    if qk.group is None:
+        lead = v.shape[:-2]
+        w2 = v * qk.scale.reshape(*lead, 1, v.shape[-1])
+    else:
+        lead = v.shape[:-3]
+        s = qk.scale.reshape(*lead, v.shape[-3], 1, v.shape[-1])
+        w2 = (v * s).reshape(*lead, v.shape[-3] * v.shape[-2], v.shape[-1])
+    return w2.reshape(*lead, *qk.in_shape, *qk.out_shape).astype(dtype)
+
+
+def quantize_params_int4_packed(
+    params: Params,
+    scope: str | None = "decoder",
+    group: int | None = 128,
+    mlp_only: bool = False,
+) -> Params:
+    """Pack dense kernels as Quantized4Kernels (int4 + grouped scales).
+
+    Same scoping rationale as ``quantize_params_int8_packed`` (the decode
+    loop is where weight bytes recur; the encoder runs once).  ``mlp_only``
+    packs only the MLP kernels (wi_fused/wo — ~57% of per-layer weight
+    bytes, the least quantization-sensitive population) at int4 and leaves
+    the rest for the caller — compose with the int8 packer for the hybrid
+    config:  ``quantize_params_int8_packed(quantize_params_int4_packed(p,
+    mlp_only=True))`` (the int8 walk skips non-array leaves).
+    """
+
+    def pk(w, path):
+        if mlp_only and "mlp" not in path:
+            return w
+        a = _quant_args_for(path)
+        return quantize_int4(w, group=group, **a)
+
+    if scope is not None and scope in params:
+        out = dict(params)
+        out[scope] = _map_kernels(params[scope], lambda w, p: pk(w, (scope,) + p))
+    else:
+        out = _map_kernels(params, pk)
     return out
 
 

@@ -120,6 +120,77 @@ def test_int8_quantized_model_generates():
     assert agreement > 0.9, agreement
 
 
+@pytest.mark.parametrize("group", [None, 64])
+def test_int4_matmul_matches_reference(group):
+    """Plain and grouped int4 contractions equal dequantize-then-dot."""
+    from dia_tts_prune_tpu.ops.kernels.int4_matmul import (
+        int4_matmul_grouped,
+        int4_matmul_reference,
+        int4_matmul_upcast,
+    )
+
+    rng = np.random.default_rng(7)
+    B, K, N = 2, 256, 192
+    x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    if group is None:
+        w = jnp.asarray(rng.integers(-7, 8, (K, N)).astype(np.int8)).astype(jnp.int4)
+        s = jnp.asarray(rng.uniform(0.01, 0.1, (N,)).astype(np.float32))
+        out = int4_matmul_upcast(x, w, s)
+    else:
+        w = jnp.asarray(
+            rng.integers(-7, 8, (K // group, group, N)).astype(np.int8)).astype(jnp.int4)
+        s = jnp.asarray(rng.uniform(0.01, 0.1, (K // group, N)).astype(np.float32))
+        out = int4_matmul_grouped(x, w, s)
+    ref = int4_matmul_reference(x, w, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("group", [None, 16])
+def test_int4_quantize_roundtrip(group):
+    """quantize_int4 → dequantize4 reconstructs within the 4-bit grid error,
+    for plain/stacked and 1-/2-axis contraction layouts."""
+    from dia_tts_prune_tpu.ops.quant import dequantize4, quantize_int4
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(3, 32, 4, 48)).astype(np.float32)) * 0.05
+    qk = quantize_int4(w, n_in=2, stacked=True, group=group)
+    deq = dequantize4(qk)
+    assert deq.shape == w.shape
+    err = float(jnp.sqrt(jnp.mean((deq - w) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
+    assert err < 0.12, err
+    # grouped scales must beat per-column scales on outlier-y weights
+    if group is not None:
+        qp = quantize_int4(w, n_in=2, stacked=True, group=None)
+        errp = float(jnp.sqrt(jnp.mean((dequantize4(qp) - w) ** 2))
+                     / jnp.sqrt(jnp.mean(w**2)))
+        assert err <= errp + 1e-6, (err, errp)
+
+
+@pytest.mark.parametrize("mode", ["int4", "hybrid"])
+def test_int4_quantized_model_generates(mode):
+    """int4-packed (and int4-MLP/int8-rest hybrid) params run the standard
+    generate path and track the fake-quant int8 trajectory early on."""
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import init_params
+    from dia_tts_prune_tpu.ops.quant import (
+        quantize_params_int4_packed,
+        quantize_params_int8_packed,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if mode == "int4":
+        qp = quantize_params_int4_packed(params, group=16)
+    else:
+        qp = quantize_params_int4_packed(params, group=16, mlp_only=True)
+        qp = quantize_params_int8_packed(qp, fused=False)
+    gen = DiaGenerator(qp, cfg)
+    out = gen.generate_tokens("[S1] int4", max_tokens=40, temperature=0.0)
+    assert out.shape[1] == 9 and out.shape[0] > 0
+    assert int(jnp.max(out)) < cfg.model.tgt_vocab_size
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_matches_reference(causal):
     from dia_tts_prune_tpu.ops.kernels.flash_attention import (
