@@ -722,8 +722,8 @@ def decode_step_fused(
     cross_attn_mask: jax.Array,  # bool [B, 1, 1, S]
     compute_dtype=jnp.float32,
     valid_from: jax.Array | None = None,
-    skip_uncond_cross: bool = False,  # accepted for step-fn API parity; the
-    # fused kernel's own masking already yields the exact uncond zeros
+    skip_uncond_cross: bool = False,  # exact CFG-half skip — the kernel
+    # fetches only the cond half of the cross cache (see fused_step.py)
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step_scan`` semantics via the single-Pallas-call fused kernel.
 
@@ -751,6 +751,7 @@ def decode_step_fused(
         # perf-tuning knobs (tools/fused_ablate.py / A/B sweeps)
         mlp_tiles=int(os.environ.get("DIA_FUSED_MT", "4")),
         ablate=os.environ.get("DIA_FUSED_ABLATE", ""),
+        skip_uncond=skip_uncond_cross,
     )
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(

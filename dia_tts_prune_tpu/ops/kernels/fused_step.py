@@ -299,7 +299,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             xo_ref, kn_ref, vn_ref,
             x_scr, xn_scr, acc_scr,
             *, L, B, D, T, S, Nq, Nkv, Ncq, H, F, eps, rope_min, rope_max,
-            mlp_tiles, ablate):
+            mlp_tiles, ablate, skip_uncond):
     l = pl.program_id(0)
     p = pl.program_id(1)
     ablate_set = set(ablate.split(","))  # exact tokens ("mergecross" != "cross")
@@ -338,35 +338,116 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             return
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         valid = t_ids < write_slot  # [1, T]
+        if "headloop" in ablate_set:
+            # original per-head micro-dot path (B*Nq serial [1,H] dots) —
+            # kept for A/B; measured the kernel's bottleneck (the full-vs-
+            # both-attn-ablated gap in docs/PERF.md)
+            out_rows = []
+            for b in range(B):
+                head_parts = []
+                for h in range(Nq):
+                    n = h // G  # kv head for this query head
+                    qh = q[b: b + 1, h * H: (h + 1) * H]               # [1, H]
+                    kcb = kc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    vcb = vc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    s_pre = jax.lax.dot_general(
+                        qh, kcb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale    # [1, T]
+                    s_pre = jnp.where(valid, s_pre, NEG)
+                    knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
+                    vnb = v_new[b: b + 1, n * H: (n + 1) * H]
+                    s_cur = jnp.sum(qh * knb, -1, keepdims=True) * scale  # [1, 1]
+                    m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+                    p_pre = jnp.exp(s_pre - m_all)
+                    p_cur = jnp.exp(s_cur - m_all)
+                    denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                    a = jax.lax.dot_general(
+                        p_pre, vcb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)            # [1, H]
+                    head_parts.append((a + p_cur * vnb) / denom)
+                out_rows.append(jnp.concatenate(head_parts, axis=1))
+            sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
+            x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
+            return
+        # Vectorized over heads: ONE block-diagonal-q score dot and ONE
+        # probs·V dot per batch row, instead of B*Nq serial [1,H] micro-dots.
+        # Qbd [Nq, Nkv*H] carries q head h in column block h//G, zeros
+        # elsewhere, so Qbd @ Kᵀ computes every head's scores against its own
+        # kv head in a single MXU contraction (the off-block MACs hit zeros —
+        # 16× redundant FLOPs on an op that was latency-bound, not
+        # FLOP-bound).  All slices/concats are H=128-lane aligned (Mosaic
+        # lowers those; sub-128 shuffles it can't).
         out_rows = []
         for b in range(B):
-            head_parts = []
-            for h in range(Nq):
-                n = h // G  # kv head for this query head
-                qh = q[b: b + 1, h * H: (h + 1) * H]               # [1, H]
-                kcb = kc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)  # [T, H]
-                vcb = vc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
-                s_pre = jax.lax.dot_general(
-                    qh, kcb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale    # [1, T]
-                s_pre = jnp.where(valid, s_pre, NEG)
-                knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
-                vnb = v_new[b: b + 1, n * H: (n + 1) * H]
-                s_cur = jnp.sum(qh * knb, -1, keepdims=True) * scale  # [1, 1]
-                m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
-                p_pre = jnp.exp(s_pre - m_all)
-                p_cur = jnp.exp(s_cur - m_all)
-                denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
-                a = jax.lax.dot_general(
-                    p_pre, vcb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)            # [1, H]
-                head_parts.append((a + p_cur * vnb) / denom)
-            out_rows.append(jnp.concatenate(head_parts, axis=1))
+            q_rows = jnp.concatenate(
+                [q[b: b + 1, h * H: (h + 1) * H] for h in range(Nq)], axis=0)  # [Nq, H]
+            blocks = []
+            for n in range(Nkv):
+                seg = [jnp.zeros((n * G, H), jnp.float32),
+                       q_rows[n * G: (n + 1) * G],
+                       jnp.zeros(((Nkv - 1 - n) * G, H), jnp.float32)]
+                blocks.append(jnp.concatenate([s for s in seg if s.shape[0]], axis=0))
+            qbd = jnp.concatenate(blocks, axis=1)                      # [Nq, NkvH]
+            kcb = kc_ref[0, b].astype(jnp.float32)                     # [T, NkvH]
+            vcb = vc_ref[0, b].astype(jnp.float32)
+            s_pre = jax.lax.dot_general(
+                qbd, kcb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale            # [Nq, T]
+            s_pre = jnp.where(valid, s_pre, NEG)
+            kn_rows = jnp.concatenate(
+                [k_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                axis=0)                                                # [Nq, H]
+            vn_rows = jnp.concatenate(
+                [v_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                axis=0)
+            s_cur = jnp.sum(q_rows * kn_rows, -1, keepdims=True) * scale  # [Nq, 1]
+            m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+            p_pre = jnp.exp(s_pre - m_all)
+            p_cur = jnp.exp(s_cur - m_all)
+            denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+            o2 = jax.lax.dot_general(
+                p_pre, vcb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                    # [Nq, NkvH]
+            o_rows = jnp.concatenate(
+                [o2[h: h + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                axis=0)                                                # [Nq, H]
+            o_rows = (o_rows + p_cur * vn_rows) / denom
+            out_rows.append(jnp.concatenate(
+                [o_rows[h: h + 1] for h in range(Nq)], axis=1))        # [1, NqH]
         sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
 
     merged = "mergecross" in ablate_set
     mlp_off = 1 if merged else 2
+
+    def _cross_attn_row(cq, mask, b, bc):
+        """One batch row's cross-attention, vectorized over all Ncq heads:
+        block-diagonal q (head n in column block n) → one score dot, one
+        probs·V dot, then extract each head's diagonal block.  ``b`` indexes
+        cq/mask; ``bc`` indexes the (possibly cond-half-only) cache blocks."""
+        rows = [cq[b: b + 1, n * H: (n + 1) * H] for n in range(Ncq)]
+        blocks = []
+        for n in range(Ncq):
+            seg = [jnp.zeros((n, H), jnp.float32), rows[n],
+                   jnp.zeros((Ncq - 1 - n, H), jnp.float32)]
+            blocks.append(jnp.concatenate([s for s in seg if s.shape[0]], axis=0))
+        qbd = jnp.concatenate(blocks, axis=1)                      # [Ncq, NcqH]
+        ckb = ck_ref[0, bc].astype(jnp.float32)                    # [S, NcqH]
+        cvb = cv_ref[0, bc].astype(jnp.float32)
+        s_c = jax.lax.dot_general(
+            qbd, ckb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale            # [Ncq, S]
+        s_c = jnp.where(mask[b: b + 1], s_c, NEG)
+        m_c = jnp.max(s_c, -1, keepdims=True)
+        m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+        p_c = jnp.exp(s_c - m_c)                                   # [Ncq, S]
+        o2 = jax.lax.dot_general(
+            p_c, cvb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # [Ncq, NcqH]
+        o_rows = jnp.concatenate(
+            [o2[n: n + 1, n * H: (n + 1) * H] for n in range(Ncq)], axis=0)
+        o_rows = o_rows / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
+        return jnp.concatenate([o_rows[n: n + 1] for n in range(Ncq)], axis=1)
 
     def _cross_body():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
@@ -377,26 +458,35 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
             return
         mask = mask_ref[:] != 0  # [B, S]
-        out_rows = []
-        for b in range(B):
-            head_parts = []
-            for n in range(Ncq):
-                qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
-                ckb = ck_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)  # [S, H]
-                cvb = cv_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
-                s_c = jax.lax.dot_general(
-                    qn, ckb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale    # [1, S]
-                s_c = jnp.where(mask[b: b + 1], s_c, NEG)
-                m_c = jnp.max(s_c, -1, keepdims=True)
-                m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
-                p_c = jnp.exp(s_c - m_c)                           # [1, S]
-                a = jax.lax.dot_general(
-                    p_c, cvb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)            # [1, H]
-                a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
-                head_parts.append(a)
-            out_rows.append(jnp.concatenate(head_parts, axis=1))
+        if skip_uncond:
+            # CFG uncond rows (first half) are fully masked → exact zeros;
+            # the cache blocks carry only the cond half (halved DMA)
+            out_rows = [jnp.zeros((B // 2, Ncq * H), jnp.float32)]
+            for b in range(B // 2, B):
+                out_rows.append(_cross_attn_row(cq, mask, b, b - B // 2))
+        elif "headloop" in ablate_set:
+            out_rows = []
+            for b in range(B):
+                head_parts = []
+                for n in range(Ncq):
+                    qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
+                    ckb = ck_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    cvb = cv_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    s_c = jax.lax.dot_general(
+                        qn, ckb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale    # [1, S]
+                    s_c = jnp.where(mask[b: b + 1], s_c, NEG)
+                    m_c = jnp.max(s_c, -1, keepdims=True)
+                    m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+                    p_c = jnp.exp(s_c - m_c)                           # [1, S]
+                    a = jax.lax.dot_general(
+                        p_c, cvb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)            # [1, H]
+                    a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
+                    head_parts.append(a)
+                out_rows.append(jnp.concatenate(head_parts, axis=1))
+        else:
+            out_rows = [_cross_attn_row(cq, mask, b, b) for b in range(B)]
         ca = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
 
@@ -435,7 +525,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "rope_min", "rope_max", "interpret", "mlp_tiles",
-                     "ablate"),
+                     "ablate", "skip_uncond"),
 )
 def fused_decode_step(
     pack: FusedPack,
@@ -453,9 +543,16 @@ def fused_decode_step(
     interpret: bool = False,
     mlp_tiles: int = MLP_TILES,
     ablate: str = "",
+    skip_uncond: bool = False,
 ):
     """Run the full decoder stack for one token.  Returns
-    (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H])."""
+    (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H]).
+
+    ``skip_uncond``: the CFG layout (uncond rows = first B/2, fully masked
+    text) lets the kernel fetch only the conditional half of the cross KV
+    cache (halved cross-cache DMA) and write the exact zeros the masked
+    softmax would produce — bit-exact with the unskipped path (the same
+    invariant as models/dia.py::decode_step's ``skip_uncond_cross``)."""
     L, B, T, Nkv, H = self_k.shape
     S, Ncq = cross_k.shape[2], cross_k.shape[3]
     D = x_emb.shape[-1]
@@ -500,8 +597,12 @@ def fused_decode_step(
             mlp_tiled_in(True), per_layer((1, 1, D)),         # wm, sm
             per_layer((1, B, T, Nkv * H)),                    # self k cache (flat)
             per_layer((1, B, T, Nkv * H)),                    # self v cache (flat)
-            per_layer((1, B, S, Ncq * H)),                    # cross k (flat)
-            per_layer((1, B, S, Ncq * H)),                    # cross v (flat)
+            # cross caches: cond-half rows only when skip_uncond (block index
+            # 1 along the B axis selects rows [B/2, B) — halved DMA)
+            pl.BlockSpec((1, B // 2, S, Ncq * H), lambda l, p, *_: (l, 1, 0, 0))
+            if skip_uncond else per_layer((1, B, S, Ncq * H)),  # cross k (flat)
+            pl.BlockSpec((1, B // 2, S, Ncq * H), lambda l, p, *_: (l, 1, 0, 0))
+            if skip_uncond else per_layer((1, B, S, Ncq * H)),  # cross v (flat)
         ],
         out_specs=[
             pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),            # x_out
@@ -518,7 +619,7 @@ def fused_decode_step(
     kernel = functools.partial(
         _kernel, L=L, B=B, D=D, T=T, S=S, Nq=Nq, Nkv=Nkv, Ncq=Ncq, H=H, F=F,
         eps=eps, rope_min=rope_min, rope_max=rope_max, mlp_tiles=mlp_tiles,
-        ablate=ablate)
+        ablate=ablate, skip_uncond=skip_uncond)
 
     scalars = jnp.stack([position.astype(jnp.int32), write_slot.astype(jnp.int32)])
     x_out, k_new, v_new = pl.pallas_call(

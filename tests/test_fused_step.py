@@ -78,6 +78,33 @@ def test_reference_matches_scan_step(setup):
     assert np.isfinite(np.asarray(ref_x)).all()
 
 
+def test_kernel_headloop_matches_vectorized(setup):
+    """The vectorized block-diagonal attention (default) equals the original
+    per-head micro-dot path — same math, batched over heads."""
+    config, params, pack, x_emb, args = setup
+    vec_x, vec_k, vec_v = fused_decode_step(pack, x_emb, **args, interpret=True)
+    old_x, old_k, old_v = fused_decode_step(pack, x_emb, **args, interpret=True,
+                                            ablate="headloop")
+    np.testing.assert_allclose(np.asarray(vec_x), np.asarray(old_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vec_k), np.asarray(old_k), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vec_v), np.asarray(old_v), rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_skip_uncond_exact(setup):
+    """skip_uncond (cond-half-only cross-cache DMA) is bit-exact when the
+    uncond rows' cross mask is all-False (the CFG layout)."""
+    config, params, pack, x_emb, args = setup
+    B, S = args["cross_mask"].shape
+    cfg_mask = args["cross_mask"].at[: B // 2].set(False)  # uncond = first half
+    a = dict(args, cross_mask=cfg_mask)
+    base_x, base_k, base_v = fused_decode_step(pack, x_emb, **a, interpret=True)
+    skip_x, skip_k, skip_v = fused_decode_step(pack, x_emb, **a, interpret=True,
+                                               skip_uncond=True)
+    np.testing.assert_array_equal(np.asarray(base_x), np.asarray(skip_x))
+    np.testing.assert_array_equal(np.asarray(base_k), np.asarray(skip_k))
+    np.testing.assert_array_equal(np.asarray(base_v), np.asarray(skip_v))
+
+
 def test_e2e_generate_fused_interpret(setup, monkeypatch):
     """The full generate loop runs through decode_step_fused (interpret mode)
     and produces tokens close to the scan-path int8 generation."""
