@@ -751,6 +751,7 @@ def decode_step_fused(
         # perf-tuning knobs (tools/fused_ablate.py / A/B sweeps)
         mlp_tiles=int(os.environ.get("DIA_FUSED_MT", "4")),
         ablate=os.environ.get("DIA_FUSED_ABLATE", ""),
+        attn_impl=os.environ.get("DIA_FUSED_ATTN", "headloop"),
         skip_uncond=skip_uncond_cross,
     )
     new_cache = KVCache(

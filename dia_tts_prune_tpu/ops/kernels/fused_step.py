@@ -52,7 +52,17 @@ NEG = -1e30  # python float: jnp constants would be captured consts in the kerne
 
 
 class FusedPack(NamedTuple):
-    """Decoder weights repacked for the fused step kernel (all stacked [L,...])."""
+    """Decoder weights repacked for the fused step kernel (all stacked [L,...]).
+
+    When ``mlp_int4`` repacking is used, the MLP fields hold NIBBLE-PACKED
+    int4: two 4-bit values per int8 byte, paired across contraction halves
+    (byte[k, n] = hi(w[k + K/2, n]) << 4 | lo(w[k, n])) so the kernel unpacks
+    with shifts only — no lane/sublane shuffles — and contracts each half of
+    the activations against its own nibble plane.  The packed block streams
+    HALF the int8 bytes and is read ONCE from HBM, which is the trick XLA's
+    fused-convert dot cannot express (two XLA dots over the same array read
+    it twice).  Scales become per-(half, column): wg/wu ``[L, 2, F]``; wm is
+    packed within each of the MLP_TILES K-tiles, scales ``[L, 2*MT, D]``."""
 
     wqkv: jax.Array   # s8 [L, D, (Nq+2Nkv)H], pre_sa_norm folded
     sqkv: jax.Array   # f32 [L, 1, (Nq+2Nkv)H]
@@ -62,14 +72,18 @@ class FusedPack(NamedTuple):
     scq: jax.Array    # f32 [L, 1, NcqH]
     wco: jax.Array    # s8 [L, NcqH, D]
     sco: jax.Array    # f32 [L, 1, D]
-    wg: jax.Array     # s8 [L, D, F], pre_mlp_norm folded (gate)
-    sg: jax.Array     # f32 [L, 1, F]
-    wu: jax.Array     # s8 [L, D, F], pre_mlp_norm folded (up)
-    su: jax.Array     # f32 [L, 1, F]
-    wm: jax.Array     # s8 [L, F, D] (mlp out)
-    sm: jax.Array     # f32 [L, 1, D]
+    wg: jax.Array     # s8 [L, D, F] (int8) | [L, D//2, F] nibble-int4 (gate)
+    sg: jax.Array     # f32 [L, 1, F] (int8) | [L, 2, F] (int4)
+    wu: jax.Array     # s8 [L, D, F] | [L, D//2, F] nibble-int4 (up)
+    su: jax.Array     # f32 [L, 1, F] | [L, 2, F]
+    wm: jax.Array     # s8 [L, F, D] | [L, F//2, D] nibble-int4, tile-paired
+    sm: jax.Array     # f32 [L, 1, D] | [L, 2*MT, D]
     jq: jax.Array     # bf16 [NqH, NqH] RoPE half-swap permutation (also cq)
     jk: jax.Array     # bf16 [NkvH, NkvH]
+
+    @property
+    def mlp_int4(self) -> bool:
+        return self.sg.shape[1] == 2
 
 
 def _rope_swap_matrix(NH: int, H: int) -> jax.Array:
@@ -96,11 +110,46 @@ def _q8(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale.astype(jnp.float32)
 
 
-def repack_decoder_fused(params: Params) -> FusedPack:
+def _q4_nibble(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Nibble-pack a stacked [L, K, N] matrix across contraction halves.
+
+    Returns (packed s8 [L, K//2, N], scales f32 [L, 2, N]) — row k of the
+    packed matrix carries original row k in its low nibble and row k + K/2 in
+    its high nibble, each half symmetric int4 with per-(half, column) scales."""
+    L, K, N = w2.shape
+    halves = w2.reshape(L, 2, K // 2, N)                       # [L, 2, K/2, N]
+    absmax = jnp.max(jnp.abs(halves), axis=2, keepdims=True)   # [L, 2, 1, N]
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(halves / scale), -7, 7).astype(jnp.int32)
+    packed = ((q[:, 1] << 4) | (q[:, 0] & 0xF)).astype(jnp.int8)  # [L, K/2, N]
+    return packed, scale[:, :, 0, :].astype(jnp.float32)       # [L, 2, N]
+
+
+def _q4_nibble_tiled(w2: jax.Array, tiles: int) -> tuple[jax.Array, jax.Array]:
+    """Nibble-pack [L, K, N] where K is consumed in ``tiles`` kernel K-tiles:
+    rows are paired WITHIN each tile (local row r ↔ r + tile/2) so a packed
+    K-tile block still matches its activation tile.  Scales [L, 2*tiles, N]
+    (lo, hi per tile)."""
+    L, K, N = w2.shape
+    tile = K // tiles
+    wt = w2.reshape(L, tiles, 2, tile // 2, N)
+    absmax = jnp.max(jnp.abs(wt), axis=3, keepdims=True)       # [L, T, 2, 1, N]
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wt / scale), -7, 7).astype(jnp.int32)
+    packed = ((q[:, :, 1] << 4) | (q[:, :, 0] & 0xF)).astype(jnp.int8)
+    return (packed.reshape(L, K // 2, N),
+            scale[:, :, :, 0, :].reshape(L, 2 * tiles, N).astype(jnp.float32))
+
+
+def repack_decoder_fused(params: Params, mlp_int4: bool = False,
+                         mlp_tiles: int = MLP_TILES) -> FusedPack:
     """Build the fused-kernel weight pack from UNQUANTIZED decoder params.
 
     Norm gains are folded in fp32 BEFORE quantization, so the fold costs no
-    extra quantization error."""
+    extra quantization error.  ``mlp_int4`` stores the three MLP matrices
+    (73% of per-step weight bytes) nibble-packed int4 — see FusedPack;
+    ``mlp_tiles`` must then match the kernel's MLP tiling (wm's nibble
+    pairing is per-K-tile)."""
     layers = params["decoder"]["layers"]
     f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
 
@@ -131,12 +180,16 @@ def repack_decoder_fused(params: Params) -> FusedPack:
     H = sa["q_proj"]["kernel"].shape[-1]
     assert NcqH == NqH, "fused kernel shares the q RoPE swap matrix with cq"
 
-    qs = [_q8(w) for w in (wqkv, wo, wcq, wco, wg, wu, wm)]
+    qs = [_q8(w) for w in (wqkv, wo, wcq, wco)]
+    if mlp_int4:
+        ms = [_q4_nibble(wg), _q4_nibble(wu), _q4_nibble_tiled(wm, mlp_tiles)]
+    else:
+        ms = [_q8(w) for w in (wg, wu, wm)]
     return FusedPack(
         wqkv=qs[0][0], sqkv=qs[0][1], wo=qs[1][0], so=qs[1][1],
         wcq=qs[2][0], scq=qs[2][1], wco=qs[3][0], sco=qs[3][1],
-        wg=qs[4][0], sg=qs[4][1], wu=qs[5][0], su=qs[5][1],
-        wm=qs[6][0], sm=qs[6][1],
+        wg=ms[0][0], sg=ms[0][1], wu=ms[1][0], su=ms[1][1],
+        wm=ms[2][0], sm=ms[2][1],
         jq=_rope_swap_matrix(NqH, H), jk=_rope_swap_matrix(NkvH, H),
     )
 
@@ -190,6 +243,23 @@ def _rope_mat(x32: jax.Array, jmat, position, H: int, min_ts: float, max_ts: flo
 
 def _silu(x32):
     return x32 * jax.nn.sigmoid(x32)
+
+
+def _dotf(a_bf, b_bf):
+    return jax.lax.dot_general(a_bf, b_bf, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _unpack4(w8: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split a nibble-packed int8 block into (lo, hi) bf16 planes.
+
+    Pure shift arithmetic (no lane shuffles, Mosaic-friendly): the int8→int32
+    convert sign-extends the byte, so ``>> 4`` yields the signed high nibble
+    directly and ``(<< 28) >> 28`` sign-extends the low nibble."""
+    w32 = w8.astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.bfloat16)
+    hi = (w32 >> 4).astype(jnp.bfloat16)
+    return lo, hi
 
 
 # ---------------------------------------------------------------------------
@@ -265,14 +335,30 @@ def fused_step_reference(
 
         xn = _rms_nogain(x32, eps).astype(jnp.bfloat16)
         F = wg.shape[-1]
-        tile = F // MLP_TILES
         acc_m = jnp.zeros((B, D), jnp.float32)
-        for t in range(MLP_TILES):
-            sl = slice(t * tile, (t + 1) * tile)
-            g = dot8(xn, wg[:, sl], sg[:, sl])
-            u = dot8(xn, wu[:, sl], su[:, sl])
-            h = (_silu(g) * u).astype(jnp.bfloat16)
-            acc_m = acc_m + dot8(h, wm[sl, :], sm)
+        if pack.mlp_int4:
+            tiles = sm.shape[0] // 2
+            tile = F // tiles
+            xl, xh = xn[:, : D // 2], xn[:, D // 2:]
+            for t in range(tiles):
+                sl = slice(t * tile, (t + 1) * tile)
+                glo, ghi = _unpack4(wg[:, sl])
+                g = _dotf(xl, glo) * sg[0:1, sl] + _dotf(xh, ghi) * sg[1:2, sl]
+                ulo, uhi = _unpack4(wu[:, sl])
+                u = _dotf(xl, ulo) * su[0:1, sl] + _dotf(xh, uhi) * su[1:2, sl]
+                h = (_silu(g) * u).astype(jnp.bfloat16)
+                hl, hh = h[:, : tile // 2], h[:, tile // 2:]
+                mlo, mhi = _unpack4(wm[t * (tile // 2): (t + 1) * (tile // 2), :])
+                acc_m = acc_m + (_dotf(hl, mlo) * sm[2 * t: 2 * t + 1]
+                                 + _dotf(hh, mhi) * sm[2 * t + 1: 2 * t + 2])
+        else:
+            tile = F // MLP_TILES
+            for t in range(MLP_TILES):
+                sl = slice(t * tile, (t + 1) * tile)
+                g = dot8(xn, wg[:, sl], sg[:, sl])
+                u = dot8(xn, wu[:, sl], su[:, sl])
+                h = (_silu(g) * u).astype(jnp.bfloat16)
+                acc_m = acc_m + dot8(h, wm[sl, :], sm)
         x32 = x32 + acc_m
         return x32, (kn.astype(self_k.dtype), vn.astype(self_v.dtype))
 
@@ -299,7 +385,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             xo_ref, kn_ref, vn_ref,
             x_scr, xn_scr, acc_scr,
             *, L, B, D, T, S, Nq, Nkv, Ncq, H, F, eps, rope_min, rope_max,
-            mlp_tiles, ablate, skip_uncond):
+            mlp_tiles, ablate, skip_uncond, mlp_int4, attn_impl):
     l = pl.program_id(0)
     p = pl.program_id(1)
     ablate_set = set(ablate.split(","))  # exact tokens ("mergecross" != "cross")
@@ -338,10 +424,11 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             return
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         valid = t_ids < write_slot  # [1, T]
-        if "headloop" in ablate_set:
-            # original per-head micro-dot path (B*Nq serial [1,H] dots) —
-            # kept for A/B; measured the kernel's bottleneck (the full-vs-
-            # both-attn-ablated gap in docs/PERF.md)
+        if attn_impl == "headloop":
+            # per-head micro-dot path (B*Nq serial [1,H] dots) — the one
+            # formulation PROVEN to compile through the remote Mosaic
+            # pipeline (r2 default); measured the kernel's bottleneck (the
+            # full-vs-both-attn-ablated gap in docs/PERF.md)
             out_rows = []
             for b in range(B):
                 head_parts = []
@@ -366,54 +453,85 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
                         preferred_element_type=jnp.float32)            # [1, H]
                     head_parts.append((a + p_cur * vnb) / denom)
                 out_rows.append(jnp.concatenate(head_parts, axis=1))
-            sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
-            x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
-            return
-        # Vectorized over heads: ONE block-diagonal-q score dot and ONE
-        # probs·V dot per batch row, instead of B*Nq serial [1,H] micro-dots.
-        # Qbd [Nq, Nkv*H] carries q head h in column block h//G, zeros
-        # elsewhere, so Qbd @ Kᵀ computes every head's scores against its own
-        # kv head in a single MXU contraction (the off-block MACs hit zeros —
-        # 16× redundant FLOPs on an op that was latency-bound, not
-        # FLOP-bound).  All slices/concats are H=128-lane aligned (Mosaic
-        # lowers those; sub-128 shuffles it can't).
-        out_rows = []
-        for b in range(B):
-            q_rows = jnp.concatenate(
-                [q[b: b + 1, h * H: (h + 1) * H] for h in range(Nq)], axis=0)  # [Nq, H]
-            blocks = []
-            for n in range(Nkv):
-                seg = [jnp.zeros((n * G, H), jnp.float32),
-                       q_rows[n * G: (n + 1) * G],
-                       jnp.zeros(((Nkv - 1 - n) * G, H), jnp.float32)]
-                blocks.append(jnp.concatenate([s for s in seg if s.shape[0]], axis=0))
-            qbd = jnp.concatenate(blocks, axis=1)                      # [Nq, NkvH]
-            kcb = kc_ref[0, b].astype(jnp.float32)                     # [T, NkvH]
-            vcb = vc_ref[0, b].astype(jnp.float32)
-            s_pre = jax.lax.dot_general(
-                qbd, kcb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale            # [Nq, T]
-            s_pre = jnp.where(valid, s_pre, NEG)
-            kn_rows = jnp.concatenate(
-                [k_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
-                axis=0)                                                # [Nq, H]
-            vn_rows = jnp.concatenate(
-                [v_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
-                axis=0)
-            s_cur = jnp.sum(q_rows * kn_rows, -1, keepdims=True) * scale  # [Nq, 1]
-            m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
-            p_pre = jnp.exp(s_pre - m_all)
-            p_cur = jnp.exp(s_cur - m_all)
-            denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
-            o2 = jax.lax.dot_general(
-                p_pre, vcb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                    # [Nq, NkvH]
-            o_rows = jnp.concatenate(
-                [o2[h: h + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
-                axis=0)                                                # [Nq, H]
-            o_rows = (o_rows + p_cur * vn_rows) / denom
-            out_rows.append(jnp.concatenate(
-                [o_rows[h: h + 1] for h in range(Nq)], axis=1))        # [1, NqH]
+        elif attn_impl == "kvseg":
+            # per-kv-head segments: the G=Nq/Nkv query heads sharing kv head
+            # n batch into ONE [G,H]×[H,T] score dot and ONE [G,T]×[T,H]
+            # probs·V dot — B*Nkv*2 dots total (vs headloop's B*Nq*2), no
+            # zero-padding FLOPs, and far less slice/concat IR than
+            # blockdiag.  All slices are H=128-lane aligned; the [1,H] row
+            # extracts are sublane slices (both lower in Mosaic).
+            out_rows = []
+            for b in range(B):
+                segs = []
+                for n in range(Nkv):
+                    q_seg = jnp.concatenate(
+                        [q[b: b + 1, h * H: (h + 1) * H]
+                         for h in range(n * G, (n + 1) * G)], axis=0)  # [G, H]
+                    kcb = kc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    vcb = vc_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
+                    s_pre = jax.lax.dot_general(
+                        q_seg, kcb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale    # [G, T]
+                    s_pre = jnp.where(valid, s_pre, NEG)
+                    knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
+                    vnb = v_new[b: b + 1, n * H: (n + 1) * H]
+                    s_cur = jnp.sum(q_seg * knb, -1, keepdims=True) * scale  # [G, 1]
+                    m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+                    p_pre = jnp.exp(s_pre - m_all)
+                    p_cur = jnp.exp(s_cur - m_all)                     # [G, 1]
+                    denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                    o = jax.lax.dot_general(
+                        p_pre, vcb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)            # [G, H]
+                    o = (o + p_cur * vnb) / denom
+                    segs.append(jnp.concatenate(
+                        [o[g: g + 1] for g in range(G)], axis=1))      # [1, GH]
+                out_rows.append(jnp.concatenate(segs, axis=1))         # [1, NqH]
+        else:  # "blockdiag"
+            # ONE block-diagonal-q score dot and ONE probs·V dot per batch
+            # row: Qbd [Nq, Nkv*H] carries q head h in column block h//G,
+            # zeros elsewhere, so Qbd @ Kᵀ computes every head's scores in a
+            # single MXU contraction (16× redundant FLOPs on an op that was
+            # latency-bound, not FLOP-bound).  NOTE: this formulation broke
+            # the remote compile pipeline (45-min Mosaic compile → tunnel
+            # death) — kept for A/B on stacks that can compile it.
+            out_rows = []
+            for b in range(B):
+                q_rows = jnp.concatenate(
+                    [q[b: b + 1, h * H: (h + 1) * H] for h in range(Nq)], axis=0)
+                blocks = []
+                for n in range(Nkv):
+                    seg = [jnp.zeros((n * G, H), jnp.float32),
+                           q_rows[n * G: (n + 1) * G],
+                           jnp.zeros(((Nkv - 1 - n) * G, H), jnp.float32)]
+                    blocks.append(jnp.concatenate([s for s in seg if s.shape[0]], axis=0))
+                qbd = jnp.concatenate(blocks, axis=1)                  # [Nq, NkvH]
+                kcb = kc_ref[0, b].astype(jnp.float32)                 # [T, NkvH]
+                vcb = vc_ref[0, b].astype(jnp.float32)
+                s_pre = jax.lax.dot_general(
+                    qbd, kcb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale        # [Nq, T]
+                s_pre = jnp.where(valid, s_pre, NEG)
+                kn_rows = jnp.concatenate(
+                    [k_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                    axis=0)                                            # [Nq, H]
+                vn_rows = jnp.concatenate(
+                    [v_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                    axis=0)
+                s_cur = jnp.sum(q_rows * kn_rows, -1, keepdims=True) * scale  # [Nq, 1]
+                m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
+                p_pre = jnp.exp(s_pre - m_all)
+                p_cur = jnp.exp(s_cur - m_all)
+                denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                o2 = jax.lax.dot_general(
+                    p_pre, vcb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)                # [Nq, NkvH]
+                o_rows = jnp.concatenate(
+                    [o2[h: h + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                    axis=0)                                            # [Nq, H]
+                o_rows = (o_rows + p_cur * vn_rows) / denom
+                out_rows.append(jnp.concatenate(
+                    [o_rows[h: h + 1] for h in range(Nq)], axis=1))    # [1, NqH]
         sa = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
 
@@ -449,6 +567,33 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
         o_rows = o_rows / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
         return jnp.concatenate([o_rows[n: n + 1] for n in range(Ncq)], axis=1)
 
+    def _cross_row_micro(cq, mask, b, bc):
+        """One batch row's cross-attention via per-head micro-dots (the
+        compile-proven formulation).  ``b`` indexes cq/mask; ``bc`` indexes
+        the (possibly cond-half-only) cache blocks."""
+        head_parts = []
+        for n in range(Ncq):
+            qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
+            ckb = ck_ref[0, bc, :, n * H: (n + 1) * H].astype(jnp.float32)
+            cvb = cv_ref[0, bc, :, n * H: (n + 1) * H].astype(jnp.float32)
+            s_c = jax.lax.dot_general(
+                qn, ckb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [1, S]
+            s_c = jnp.where(mask[b: b + 1], s_c, NEG)
+            m_c = jnp.max(s_c, -1, keepdims=True)
+            m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+            p_c = jnp.exp(s_c - m_c)                           # [1, S]
+            a = jax.lax.dot_general(
+                p_c, cvb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [1, H]
+            a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
+            head_parts.append(a)
+        return jnp.concatenate(head_parts, axis=1)
+
+    # cross heads each own their kv head (MHA): "kvseg" degenerates to the
+    # per-head loop; only "blockdiag" uses the block-diagonal-q single dot
+    cross_row = _cross_attn_row if attn_impl == "blockdiag" else _cross_row_micro
+
     def _cross_body():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
         cq = _rope_mat(dot8(xn, wcq_ref[0], scq_ref[0]), jq_ref[:], pos, H,
@@ -463,30 +608,9 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             # the cache blocks carry only the cond half (halved DMA)
             out_rows = [jnp.zeros((B // 2, Ncq * H), jnp.float32)]
             for b in range(B // 2, B):
-                out_rows.append(_cross_attn_row(cq, mask, b, b - B // 2))
-        elif "headloop" in ablate_set:
-            out_rows = []
-            for b in range(B):
-                head_parts = []
-                for n in range(Ncq):
-                    qn = cq[b: b + 1, n * H: (n + 1) * H]              # [1, H]
-                    ckb = ck_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
-                    cvb = cv_ref[0, b, :, n * H: (n + 1) * H].astype(jnp.float32)
-                    s_c = jax.lax.dot_general(
-                        qn, ckb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale    # [1, S]
-                    s_c = jnp.where(mask[b: b + 1], s_c, NEG)
-                    m_c = jnp.max(s_c, -1, keepdims=True)
-                    m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
-                    p_c = jnp.exp(s_c - m_c)                           # [1, S]
-                    a = jax.lax.dot_general(
-                        p_c, cvb, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)            # [1, H]
-                    a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
-                    head_parts.append(a)
-                out_rows.append(jnp.concatenate(head_parts, axis=1))
+                out_rows.append(cross_row(cq, mask, b, b - B // 2))
         else:
-            out_rows = [_cross_attn_row(cq, mask, b, b) for b in range(B)]
+            out_rows = [cross_row(cq, mask, b, b) for b in range(B)]
         ca = jnp.concatenate(out_rows, axis=0).astype(jnp.bfloat16)
         x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
 
@@ -509,23 +633,42 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
         xn = xn_scr[:]
-        g = dot8(xn, wg_ref[0], sg_ref[0])
-        u = dot8(xn, wu_ref[0], su_ref[0])
-        h = (_silu(g) * u).astype(jnp.bfloat16)
-        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-            h, wm_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if mlp_int4:
+            # nibble-packed MLP: each packed block is read from HBM ONCE and
+            # contributes BOTH contraction halves (lo/hi planes) — half the
+            # weight bytes of int8; scales are per-(half, column) so they
+            # apply per tile here, not at the end.
+            xl, xh = xn[:, : D // 2], xn[:, D // 2:]
+            glo, ghi = _unpack4(wg_ref[0])
+            g = _dotf(xl, glo) * sg_ref[0, 0:1] + _dotf(xh, ghi) * sg_ref[0, 1:2]
+            ulo, uhi = _unpack4(wu_ref[0])
+            u = _dotf(xl, ulo) * su_ref[0, 0:1] + _dotf(xh, uhi) * su_ref[0, 1:2]
+            h = (_silu(g) * u).astype(jnp.bfloat16)
+            hl, hh = h[:, : tile // 2], h[:, tile // 2:]
+            mlo, mhi = _unpack4(wm_ref[0])
+            acc_scr[:] = acc_scr[:] + (_dotf(hl, mlo) * sm_ref[0, 0:1]
+                                       + _dotf(hh, mhi) * sm_ref[0, 1:2])
+        else:
+            g = dot8(xn, wg_ref[0], sg_ref[0])
+            u = dot8(xn, wu_ref[0], su_ref[0])
+            h = (_silu(g) * u).astype(jnp.bfloat16)
+            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+                h, wm_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(t == mlp_tiles - 1)
         def _():
-            x_scr[:] = x_scr[:] + acc_scr[:] * sm_ref[0]
+            if mlp_int4:
+                x_scr[:] = x_scr[:] + acc_scr[:]
+            else:
+                x_scr[:] = x_scr[:] + acc_scr[:] * sm_ref[0]
             xo_ref[:] = x_scr[:].astype(xo_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "rope_min", "rope_max", "interpret", "mlp_tiles",
-                     "ablate", "skip_uncond"),
+                     "ablate", "skip_uncond", "attn_impl"),
 )
 def fused_decode_step(
     pack: FusedPack,
@@ -544,6 +687,7 @@ def fused_decode_step(
     mlp_tiles: int = MLP_TILES,
     ablate: str = "",
     skip_uncond: bool = False,
+    attn_impl: str = "headloop",  # headloop | kvseg | blockdiag (see _kernel)
 ):
     """Run the full decoder stack for one token.  Returns
     (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H]).
@@ -562,6 +706,11 @@ def fused_decode_step(
     tile = F // mlp_tiles
     mlp_off = 1 if "mergecross" in ablate else 2
     nph = mlp_off + mlp_tiles
+    mlp_int4 = pack.mlp_int4
+    if mlp_int4:
+        assert pack.sm.shape[1] == 2 * mlp_tiles, (
+            f"int4 pack was nibble-paired for {pack.sm.shape[1] // 2} MLP "
+            f"K-tiles; kernel called with mlp_tiles={mlp_tiles}")
 
     # per-layer blocks; index maps keep an input's block index constant until
     # the phase that uses it, so each is fetched once per layer, and the
@@ -569,15 +718,19 @@ def fused_decode_step(
     def per_layer(shape):
         return pl.BlockSpec(shape, lambda l, p, *_: (l,) + (0,) * (len(shape) - 1))
 
+    # int4 packs halve the K axis of each MLP block (two nibbles per byte)
+    kdiv = 2 if mlp_int4 else 1
+
     def mlp_tiled_in(kdim_first):
-        if kdim_first:  # wm [L, F, D] → K tiles
-            return pl.BlockSpec((1, tile, D),
+        if kdim_first:  # wm [L, F(/2), D] → K tiles
+            return pl.BlockSpec((1, tile // kdiv, D),
                                 lambda l, p, *_: (l, jnp.maximum(p - mlp_off, 0), 0))
-        return pl.BlockSpec((1, D, tile),
+        return pl.BlockSpec((1, D // kdiv, tile),
                             lambda l, p, *_: (l, 0, jnp.maximum(p - mlp_off, 0)))
 
     def mlp_scale(n):
-        return pl.BlockSpec((1, 1, n), lambda l, p, *_: (l, 0, jnp.maximum(p - mlp_off, 0)))
+        return pl.BlockSpec((1, kdiv, n),
+                            lambda l, p, *_: (l, 0, jnp.maximum(p - mlp_off, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -594,7 +747,9 @@ def fused_decode_step(
             per_layer((1, Ncq * H, D)), per_layer((1, 1, D)),  # wco, sco
             mlp_tiled_in(False), mlp_scale(tile),             # wg, sg
             mlp_tiled_in(False), mlp_scale(tile),             # wu, su
-            mlp_tiled_in(True), per_layer((1, 1, D)),         # wm, sm
+            mlp_tiled_in(True),                               # wm
+            pl.BlockSpec((1, 2, D), lambda l, p, *_: (l, jnp.maximum(p - mlp_off, 0), 0))
+            if mlp_int4 else per_layer((1, 1, D)),            # sm
             per_layer((1, B, T, Nkv * H)),                    # self k cache (flat)
             per_layer((1, B, T, Nkv * H)),                    # self v cache (flat)
             # cross caches: cond-half rows only when skip_uncond (block index
@@ -619,7 +774,8 @@ def fused_decode_step(
     kernel = functools.partial(
         _kernel, L=L, B=B, D=D, T=T, S=S, Nq=Nq, Nkv=Nkv, Ncq=Ncq, H=H, F=F,
         eps=eps, rope_min=rope_min, rope_max=rope_max, mlp_tiles=mlp_tiles,
-        ablate=ablate, skip_uncond=skip_uncond)
+        ablate=ablate, skip_uncond=skip_uncond, mlp_int4=mlp_int4,
+        attn_impl=attn_impl)
 
     scalars = jnp.stack([position.astype(jnp.int32), write_slot.astype(jnp.int32)])
     x_out, k_new, v_new = pl.pallas_call(

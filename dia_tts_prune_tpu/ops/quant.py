@@ -142,12 +142,19 @@ def quantize_params_int8_packed(
     the raw weights BEFORE quantization — norm gains fold into the int8
     quantization at no extra error.  The fused kernel is the fastest TPU
     decode path; the QuantizedKernel tree remains the prefill/fallback path."""
+    import os
+
     fused_pack = None
     if fused and "decoder" in params:
         try:
             from .kernels.fused_step import repack_decoder_fused
 
-            fused_pack = repack_decoder_fused(params)
+            # DIA_FUSED_INT4=1: nibble-pack the MLP matrices (73% of the
+            # per-step weight bytes) int4 inside the fused pack — only the
+            # Pallas kernel can exploit the layout (one HBM read feeds both
+            # contraction halves), so the knob lives here with the pack.
+            fused_pack = repack_decoder_fused(
+                params, mlp_int4=os.environ.get("DIA_FUSED_INT4") == "1")
         except (KeyError, TypeError, AttributeError):
             fused_pack = None  # pruned/packed/nonstandard layouts: unavailable
 

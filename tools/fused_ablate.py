@@ -42,7 +42,8 @@ def main():
     dec = m.decoder
     dtype = jnp.bfloat16
     params = init_params(config, jax.random.PRNGKey(0), dtype)
-    pack = repack_decoder_fused(params)
+    pack8 = repack_decoder_fused(params)
+    pack4 = {}  # built lazily per mlp_tiles (wm nibble pairing is per-K-tile)
     B, S, T = 2, 128, args.cache_len
 
     ck = jax.random.normal(
@@ -58,9 +59,29 @@ def main():
         "noboth": dict(ablate="attn,cross"),
         "mt2": dict(mlp_tiles=2),
         "mt8": dict(mlp_tiles=8),
+        "kvseg": dict(attn_impl="kvseg"),          # per-kv-head segment dots
+        "blockdiag": dict(attn_impl="blockdiag"),  # 1 block-diag dot per row
+        "skipuncond": dict(skip_uncond=True),      # cond-half-only cross cache
+        "int4": dict(_pack="int4"),                # nibble-packed MLP weights
+        "int4skip": dict(_pack="int4", skip_uncond=True),
+        "int4noboth": dict(_pack="int4", ablate="attn,cross"),
+        # int4 + 8 MLP tiles: halves the int4 phase's live VMEM blocks
+        "int4mt8": dict(_pack="int4", mlp_tiles=8),
+        "kvsegskip": dict(attn_impl="kvseg", skip_uncond=True),
+        "int4kvseg": dict(_pack="int4", attn_impl="kvseg", mlp_tiles=8,
+                          skip_uncond=True),
     }
 
     def measure(kw):
+        kw = dict(kw)
+        if kw.pop("_pack", None) == "int4":
+            mt = kw.get("mlp_tiles", 4)
+            if mt not in pack4:
+                pack4[mt] = repack_decoder_fused(params, mlp_int4=True,
+                                                 mlp_tiles=mt)
+            pack = pack4[mt]
+        else:
+            pack = pack8
         def make(steps):
             @jax.jit
             def run(x, kc, vc):

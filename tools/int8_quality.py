@@ -32,13 +32,31 @@ DEFAULT_TEXT = (
 )
 
 
-def compare(params, config, steps: int = 256, seed: int = 0,
-            text: str = DEFAULT_TEXT, weights_label: str = "random") -> dict:
-    """int8-vs-bf16 quality delta for the GIVEN params (random or real).
+def _quantize(params, mode: str):
+    from dia_tts_prune_tpu.ops.quant import (
+        quantize_params_int4_packed,
+        quantize_params_int8_packed,
+    )
 
-    Runs greedy decode under both weight formats plus a teacher-forced
-    per-step logit comparison; returns the metrics dict.  Called standalone
-    on random weights (main below) and as a stage of
+    if mode == "int8":
+        return quantize_params_int8_packed(params)
+    if mode == "int4":
+        return quantize_params_int4_packed(params)
+    if mode == "hybrid":  # int4 MLP + int8 rest
+        return quantize_params_int8_packed(
+            quantize_params_int4_packed(params, mlp_only=True), fused=False)
+    raise ValueError(f"unknown quant mode {mode}")
+
+
+def compare(params, config, steps: int = 256, seed: int = 0,
+            text: str = DEFAULT_TEXT, weights_label: str = "random",
+            mode: str = "int8") -> dict:
+    """Quantized-vs-bf16 quality delta for the GIVEN params (random or real).
+
+    ``mode`` selects the quantized format (int8 / int4 grouped / int4-MLP+
+    int8 hybrid).  Runs greedy decode under both weight formats plus a
+    teacher-forced per-step logit comparison; returns the metrics dict.
+    Called standalone on random weights (main below) and as a stage of
     tools/validate_real_checkpoint.py the moment real weights are reachable.
     """
     import jax
@@ -46,9 +64,8 @@ def compare(params, config, steps: int = 256, seed: int = 0,
     import numpy as np
 
     from dia_tts_prune_tpu.generate import DiaGenerator
-    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
-    params_q = quantize_params_int8_packed(params)
+    params_q = _quantize(params, mode)
     steps = min(steps, config.data.audio_length - 32)
     max_tokens = steps + config.data.max_delay + 2
 
@@ -101,7 +118,7 @@ def compare(params, config, steps: int = 256, seed: int = 0,
     scale = np.abs(logits_bf).mean() + 1e-9
 
     return {
-        "metric": "int8_quality_vs_bf16",
+        "metric": f"{mode}_quality_vs_bf16",
         "greedy_token_agreement": round(agree, 4),
         "first_divergence_step": div,
         "rows_compared": int(n),
@@ -116,6 +133,8 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", type=str, default="int8",
+                   choices=["int8", "int4", "hybrid"])
     args = p.parse_args(argv)
 
     import jax
@@ -133,7 +152,8 @@ def main(argv=None):
 
     config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
     params = init_params(config, jax.random.PRNGKey(args.seed), jnp.bfloat16)
-    print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed)))
+    print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed,
+                             mode=args.mode)))
 
 
 if __name__ == "__main__":

@@ -85,10 +85,10 @@ def main():
     cross = KVCache(k=ck, v=ck * 0.5)
     cmask = jnp.ones((B, 1, 1, S), jnp.bool_)
 
-    def slope_ms(make_run):
+    def slope_ms(make_run, lo=None, hi=None):
         """Best-of-3 per-iteration cost from the (lo, hi) iteration slope."""
         times = {}
-        for iters in (args.lo, args.hi):
+        for iters in (lo or args.lo, hi or args.hi):
             run = make_run(iters)
             cache = new_self_cache(config, B, max_len=args.cache_len, dtype=cdt)
             np.asarray(jax.block_until_ready(run(cache, params)))
@@ -99,7 +99,8 @@ def main():
                 np.asarray(jax.block_until_ready(run(cache, params)))
                 best = min(best, time.perf_counter() - t0)
             times[iters] = best
-        return (times[args.hi] - times[args.lo]) / (args.hi - args.lo) * 1e3
+        ks = sorted(times)
+        return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0]) * 1e3
 
     def make_step_run(n_layers):
         def make(iters):
@@ -150,7 +151,13 @@ def main():
         if ld < dec.n_layer:
             out[f"draft_step_ms_L{ld}"] = round(slope_ms(make_step_run(ld)), 3)
     for w in args.windows:
-        out[f"verify_window_ms_W{w}"] = round(slope_ms(make_window_run(w)), 3)
+        # window positions advance W per iteration — cap so i*W never clamps
+        # at the cache end (clamped write slots change the bucketed-prefix
+        # work and corrupted the first W16 measurement)
+        w_hi = min(args.hi, args.cache_len // w - 1)
+        w_lo = min(args.lo, max(4, w_hi // 4))
+        out[f"verify_window_ms_W{w}"] = round(
+            slope_ms(make_window_run(w), lo=w_lo, hi=w_hi), 3)
 
     # plug-in-α table: speedup at representative acceptance probabilities
     def expected_tokens(a, W):
