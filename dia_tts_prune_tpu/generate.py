@@ -107,11 +107,11 @@ def _decode_step_fn(params=None, batch: bool = False):
         return decode_step_scan
     if params is not None and _params_are_packed_int8(params):
         if (
-            not batch
-            and "fused_pack" in params.get("decoder", {})
+            "fused_pack" in params.get("decoder", {})
             and os.environ.get("DIA_FUSED") == "1"  # opt-in: measured 2.55 vs
             # 2.17 ms/step for the XLA scan path so far (docs/PERF.md) —
-            # becomes the default if/when it wins
+            # becomes the default if/when it wins.  Batched rows ride the
+            # kernel's per-row position/valid_from SMEM scalars.
             and (
                 jax.default_backend() in ("tpu", "axon")
                 or os.environ.get("DIA_FUSED_INTERPRET") == "1"

@@ -730,19 +730,19 @@ def decode_step_fused(
     The whole 18-layer stack runs as ONE kernel (grid over layers×phases,
     int8 weights double-buffered through VMEM, norm gains folded at repack) —
     see ops/kernels/fused_step.py.  Requires ``params["decoder"]["fused_pack"]``
-    (built by ``ops.quant.quantize_params_int8_packed``); only the
-    single-stream CFG path is eligible (B=2, no ``valid_from``)."""
+    (built by ``ops.quant.quantize_params_int8_packed``).  Batched rows carry
+    per-row RoPE positions and ``valid_from`` windows (right-aligned
+    voice-clone prompts) straight into the kernel's SMEM scalars."""
     import os
 
     from ..ops.kernels.fused_step import fused_decode_step
 
-    assert valid_from is None, "fused step does not support batched voice-clone"
     m = config.model
     pack = params["decoder"]["fused_pack"]
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
     interpret = os.environ.get("DIA_FUSED_INTERPRET") == "1"
     x_out, ks, vs = fused_decode_step(
-        pack, x[:, 0], position[0, 0], write_slot.astype(jnp.int32),
+        pack, x[:, 0], position[:, 0], write_slot.astype(jnp.int32),
         self_cache.k, self_cache.v, cross_cache.k, cross_cache.v,
         cross_attn_mask[:, 0, 0, :],
         eps=m.normalization_layer_epsilon,
@@ -753,6 +753,7 @@ def decode_step_fused(
         ablate=os.environ.get("DIA_FUSED_ABLATE", ""),
         attn_impl=os.environ.get("DIA_FUSED_ATTN", "headloop"),
         skip_uncond=skip_uncond_cross,
+        valid_from=valid_from,
     )
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(

@@ -270,7 +270,7 @@ def _unpack4(w8: jax.Array) -> tuple[jax.Array, jax.Array]:
 def fused_step_reference(
     pack: FusedPack,
     x_emb: jax.Array,       # [B, D] fp32 summed channel embeddings
-    position: jax.Array,    # scalar int32 RoPE position
+    position: jax.Array,    # int32 RoPE position: scalar or per-row [B]
     write_slot: jax.Array,  # scalar int32
     self_k: jax.Array,      # [L, B, T, Nkv, H]
     self_v: jax.Array,
@@ -280,6 +280,7 @@ def fused_step_reference(
     eps: float,
     rope_min: float,
     rope_max: float,
+    valid_from: jax.Array | None = None,  # int32 [B] first valid cache slot
 ):
     """Layer-scan reference with EXACTLY the kernel's math/dtype order."""
     L, B, T, Nkv, H = self_k.shape
@@ -289,7 +290,12 @@ def fused_step_reference(
     D = x_emb.shape[-1]
     scale = 1.0 / math.sqrt(H)
     slot_ids = jnp.arange(T, dtype=jnp.int32)
+    # per-row RoPE positions + valid-prefix window (batched voice-clone rows
+    # have row-local positions and right-padded prompt starts)
+    position = jnp.broadcast_to(jnp.ravel(jnp.asarray(position)), (B,))[:, None]
     prefix = (slot_ids < write_slot)[None, :]  # [1, T]
+    if valid_from is not None:
+        prefix = prefix & (slot_ids[None, :] >= valid_from[:, None])  # [B, T]
 
     def dot8(xbf, w8, s):
         y = jnp.dot(xbf, w8.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
@@ -376,7 +382,7 @@ def fused_step_reference(
 # ---------------------------------------------------------------------------
 
 
-def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
+def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B])
             x_ref, mask_ref, jq_ref, jk_ref,
             wqkv_ref, sqkv_ref, wo_ref, so_ref,
             wcq_ref, scq_ref, wco_ref, sco_ref,
@@ -389,11 +395,26 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
     l = pl.program_id(0)
     p = pl.program_id(1)
     ablate_set = set(ablate.split(","))  # exact tokens ("mergecross" != "cross")
-    pos = scalars_ref[0]
-    write_slot = scalars_ref[1]
+    write_slot = scalars_ref[0]
     scale = 1.0 / math.sqrt(H)
     G = Nq // Nkv
     tile = F // mlp_tiles
+
+    def _row_bcast(base, lanes):
+        """[B, lanes] int32 with row b filled from scalars_ref[base + b].
+
+        Mosaic has no SMEM gather; B is small (2 single-stream CFG, 2N
+        batched) so an unrolled select per row is cheap VPU work."""
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, lanes), 0)
+        out = jnp.zeros((B, lanes), jnp.int32)
+        for b in range(B):
+            out = jnp.where(row == b, scalars_ref[1 + b], out)
+        return out
+
+    def _vf(b):
+        """Row b's first valid self-cache slot (batched voice-clone rows are
+        right-aligned: slots before the prompt start are garbage)."""
+        return scalars_ref[1 + B + b]
 
     @pl.when((l == 0) & (p == 0))
     def _init():
@@ -409,8 +430,10 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
     def _self_attn():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
         qkv = dot8(xn, wqkv_ref[0], sqkv_ref[0])  # [B, (Nq+2Nkv)H] f32
-        q = _rope_mat(qkv[:, : Nq * H], jq_ref[:], pos, H, rope_min, rope_max)
-        k_new = _rope_mat(qkv[:, Nq * H: (Nq + Nkv) * H], jk_ref[:], pos, H,
+        pos_q = _row_bcast(1, Nq * H)
+        pos_k = _row_bcast(1, Nkv * H)
+        q = _rope_mat(qkv[:, : Nq * H], jq_ref[:], pos_q, H, rope_min, rope_max)
+        k_new = _rope_mat(qkv[:, Nq * H: (Nq + Nkv) * H], jk_ref[:], pos_k, H,
                           rope_min, rope_max)
         v_new = qkv[:, (Nq + Nkv) * H:]
         # k/v outputs stay head-flattened [B, Nkv*H]; the wrapper reshapes on
@@ -423,7 +446,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             x_scr[:] = x_scr[:] + dot8(sa, wo_ref[0], so_ref[0])
             return
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        valid = t_ids < write_slot  # [1, T]
+        base_valid = t_ids < write_slot  # [1, T]
         if attn_impl == "headloop":
             # per-head micro-dot path (B*Nq serial [1,H] dots) — the one
             # formulation PROVEN to compile through the remote Mosaic
@@ -431,6 +454,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             # full-vs-both-attn-ablated gap in docs/PERF.md)
             out_rows = []
             for b in range(B):
+                valid = base_valid & (t_ids >= _vf(b))                 # [1, T]
                 head_parts = []
                 for h in range(Nq):
                     n = h // G  # kv head for this query head
@@ -462,6 +486,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             # extracts are sublane slices (both lower in Mosaic).
             out_rows = []
             for b in range(B):
+                valid = base_valid & (t_ids >= _vf(b))                 # [1, T]
                 segs = []
                 for n in range(Nkv):
                     q_seg = jnp.concatenate(
@@ -497,6 +522,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
             # death) — kept for A/B on stacks that can compile it.
             out_rows = []
             for b in range(B):
+                valid = base_valid & (t_ids >= _vf(b))                 # [1, T]
                 q_rows = jnp.concatenate(
                     [q[b: b + 1, h * H: (h + 1) * H] for h in range(Nq)], axis=0)
                 blocks = []
@@ -596,8 +622,8 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
 
     def _cross_body():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
-        cq = _rope_mat(dot8(xn, wcq_ref[0], scq_ref[0]), jq_ref[:], pos, H,
-                       rope_min, rope_max)
+        cq = _rope_mat(dot8(xn, wcq_ref[0], scq_ref[0]), jq_ref[:],
+                       _row_bcast(1, Ncq * H), H, rope_min, rope_max)
         if "cross" in ablate_set:  # perf ablation: weight stream without attention
             ca = cq.astype(jnp.bfloat16)
             x_scr[:] = x_scr[:] + dot8(ca, wco_ref[0], sco_ref[0])
@@ -673,7 +699,7 @@ def _kernel(scalars_ref,  # SMEM int32 [2]: (position, write_slot)
 def fused_decode_step(
     pack: FusedPack,
     x_emb: jax.Array,       # [B, D] bf16/f32
-    position: jax.Array,    # scalar int32
+    position: jax.Array,    # int32 RoPE position: scalar or per-row [B]
     write_slot: jax.Array,  # scalar int32
     self_k: jax.Array,      # [L, B, T, Nkv, H]
     self_v: jax.Array,
@@ -688,6 +714,7 @@ def fused_decode_step(
     ablate: str = "",
     skip_uncond: bool = False,
     attn_impl: str = "headloop",  # headloop | kvseg | blockdiag (see _kernel)
+    valid_from: jax.Array | None = None,  # int32 [B] first valid cache slot
 ):
     """Run the full decoder stack for one token.  Returns
     (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H]).
@@ -777,7 +804,16 @@ def fused_decode_step(
         ablate=ablate, skip_uncond=skip_uncond, mlp_int4=mlp_int4,
         attn_impl=attn_impl)
 
-    scalars = jnp.stack([position.astype(jnp.int32), write_slot.astype(jnp.int32)])
+    # SMEM scalar layout: [write_slot, pos_0..pos_{B-1}, vf_0..vf_{B-1}] —
+    # positions/valid windows are per-row on the batched voice-clone path
+    # (row-local RoPE, right-aligned prompts); the single-stream path
+    # broadcasts its scalar position and zero valid_from.
+    pos_rows = jnp.broadcast_to(
+        jnp.ravel(jnp.asarray(position, jnp.int32)), (B,))
+    vf_rows = (jnp.zeros((B,), jnp.int32) if valid_from is None
+               else jnp.ravel(valid_from).astype(jnp.int32))
+    scalars = jnp.concatenate(
+        [jnp.asarray(write_slot, jnp.int32).reshape(1), pos_rows, vf_rows])
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -123,6 +123,71 @@ def test_kernel_skip_uncond_exact(setup):
     np.testing.assert_array_equal(np.asarray(base_v), np.asarray(skip_v))
 
 
+@pytest.mark.parametrize("impl", ["headloop", "kvseg", "blockdiag"])
+def test_kernel_per_row_position_valid_from(setup, impl):
+    """Batched-path semantics: per-row RoPE positions and per-row valid_from
+    windows (right-aligned voice-clone prompts) — kernel == reference under
+    every attention impl."""
+    config, params, pack, x_emb, args = setup
+    B = x_emb.shape[0]
+    a = dict(args,
+             position=jnp.asarray([17, 9], jnp.int32)[:B])
+    vf = jnp.asarray([0, 7], jnp.int32)[:B]
+    ref_x, ref_k, ref_v = fused_step_reference(pack, x_emb, **a, valid_from=vf)
+    out_x, out_k, out_v = fused_decode_step(pack, x_emb, **a, valid_from=vf,
+                                            interpret=True, attn_impl=impl)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), rtol=2e-2, atol=2e-2)
+
+
+def test_per_row_reference_matches_per_row_calls(setup):
+    """A batched reference call with per-row (position, valid_from) equals
+    running each row separately — rows are independent through the stack."""
+    config, params, pack, x_emb, args = setup
+    B = x_emb.shape[0]
+    positions = jnp.asarray([17, 9], jnp.int32)[:B]
+    vf = jnp.asarray([0, 7], jnp.int32)[:B]
+    a = dict(args, position=positions)
+    bx, bk, bv = fused_step_reference(pack, x_emb, **a, valid_from=vf)
+    for b in range(B):
+        sx, sk, sv = fused_step_reference(
+            pack, x_emb[b: b + 1], position=positions[b],
+            valid_from=vf[b: b + 1],
+            write_slot=args["write_slot"],
+            self_k=args["self_k"][:, b: b + 1], self_v=args["self_v"][:, b: b + 1],
+            cross_k=args["cross_k"][:, b: b + 1], cross_v=args["cross_v"][:, b: b + 1],
+            cross_mask=args["cross_mask"][b: b + 1],
+            eps=args["eps"], rope_min=args["rope_min"], rope_max=args["rope_max"])
+        np.testing.assert_allclose(np.asarray(bx[b]), np.asarray(sx[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bk[:, b]), np.asarray(sk[:, 0]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_e2e_generate_fused_batched_interpret(setup, monkeypatch):
+    """The batched generate loop routes through decode_step_fused and each
+    stream's greedy tokens equal its single-stream fused run (same
+    quantization pack — exact parity expected)."""
+    from dia_tts_prune_tpu.generate import DiaGenerator, _decode_step_fn
+    from dia_tts_prune_tpu.models.dia import decode_step_fused
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    config, params, _, _, _ = setup
+    packed = quantize_params_int8_packed(params)
+    monkeypatch.setenv("DIA_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("DIA_FUSED", "1")
+    assert _decode_step_fn(packed, batch=True) is decode_step_fused
+
+    gen = DiaGenerator(packed, config, "float32")
+    texts = ["[S1] fused batch one", "[S2] fused batch two longer text"]
+    singles = [np.asarray(gen.generate_tokens(t, max_tokens=32, temperature=0.0))
+               for t in texts]
+    batched = gen.generate_tokens_batch(texts, max_tokens=32, temperature=0.0)
+    for got, want in zip(batched, singles):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_e2e_generate_fused_interpret(setup, monkeypatch):
     """The full generate loop runs through decode_step_fused (interpret mode)
     and produces tokens close to the scan-path int8 generation."""
