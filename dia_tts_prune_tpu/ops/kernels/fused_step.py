@@ -86,6 +86,20 @@ class FusedPack(NamedTuple):
         return self.sg.shape[1] == 2
 
 
+def _head_sum_matrix(NH: int, H: int) -> jax.Array:
+    """0/1 matrix M [NH, N] with M[h*H + j, h] = 1: a dot with M sums each
+    head's H lanes into one score column (block-segmented lane reduction —
+    the reduction Mosaic can't express as a sub-128-lane reshape, done as a
+    single tiny MXU contraction instead).  Mᵀ broadcasts per-head scalars
+    back to head lanes.  f32 so score accumulation matches the headloop
+    path's f32 dots."""
+    import numpy as np
+
+    m = np.zeros((NH, NH // H), np.float32)
+    m[np.arange(NH), np.arange(NH) // H] = 1.0
+    return jnp.asarray(m)
+
+
 def _rope_swap_matrix(NH: int, H: int) -> jax.Array:
     """Permutation matrix P with (x @ P)[j] = x[partner(j)], partner = the
     other RoPE half within the same head.  Mosaic can't lower the 64-lane
@@ -383,7 +397,7 @@ def fused_step_reference(
 
 
 def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B])
-            x_ref, mask_ref, jq_ref, jk_ref,
+            x_ref, mask_ref, maskt_ref, jq_ref, jk_ref, hs_ref, hst_ref,
             wqkv_ref, sqkv_ref, wo_ref, so_ref,
             wcq_ref, scq_ref, wco_ref, sco_ref,
             wg_ref, sg_ref, wu_ref, su_ref, wm_ref, sm_ref,
@@ -447,7 +461,57 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
             return
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         base_valid = t_ids < write_slot  # [1, T]
-        if attn_impl == "headloop":
+        if attn_impl == "vpu":
+            # all-heads-at-once, zero micro-dots: scores live [T, Nq]
+            # (cache positions in SUBLANES, heads in lanes).  The GQA cache
+            # is lane-tiled to query-head layout (128-aligned block concats),
+            # q·K is ONE elementwise multiply, and the per-head H-lane sums
+            # are ONE tiny constant-matrix contraction (hs_ref — Mosaic
+            # can't reduce over sub-128-lane groups, but an MXU dot with a
+            # 0/1 head-sum matrix can).  Softmax reduces over sublanes;
+            # probs·V is the mirror image via hst_ref.  ~8 large ops per
+            # batch row instead of Nq serial [1,H] dot chains.
+            t_col = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+            out_rows = []
+            for b in range(B):
+                valid_col = (t_col < write_slot) & (t_col >= _vf(b))  # [T, 1]
+                kcb, vcb = kc_ref[0, b], vc_ref[0, b]  # [T, NkvH]
+                kce = jnp.concatenate(
+                    [kcb[:, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                    axis=1).astype(jnp.float32)                   # [T, NqH]
+                vce = jnp.concatenate(
+                    [vcb[:, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
+                    axis=1).astype(jnp.float32)
+                kne = jnp.concatenate(
+                    [k_new[b: b + 1, (h // G) * H: (h // G + 1) * H]
+                     for h in range(Nq)], axis=1)                 # [1, NqH]
+                vne = jnp.concatenate(
+                    [v_new[b: b + 1, (h // G) * H: (h // G + 1) * H]
+                     for h in range(Nq)], axis=1)
+                qb = q[b: b + 1]                                  # [1, NqH]
+                s_pre = jax.lax.dot_general(
+                    qb * kce, hs_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale   # [T, Nq]
+                s_pre = jnp.where(valid_col, s_pre, NEG)
+                s_cur = jax.lax.dot_general(
+                    qb * kne, hs_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale   # [1, Nq]
+                m_all = jnp.maximum(jnp.max(s_pre, 0, keepdims=True), s_cur)
+                p_pre = jnp.exp(s_pre - m_all)                    # [T, Nq]
+                p_cur = jnp.exp(s_cur - m_all)                    # [1, Nq]
+                denom = jnp.sum(p_pre, 0, keepdims=True) + p_cur  # [1, Nq]
+                pe = jax.lax.dot_general(
+                    p_pre, hst_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)           # [T, NqH]
+                acc = jnp.sum(pe * vce, 0, keepdims=True)         # [1, NqH]
+                pce = jax.lax.dot_general(
+                    p_cur, hst_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                de = jax.lax.dot_general(
+                    1.0 / denom, hst_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_rows.append((acc + pce * vne) * de)
+        elif attn_impl == "headloop":
             # per-head micro-dot path (B*Nq serial [1,H] dots) — the one
             # formulation PROVEN to compile through the remote Mosaic
             # pipeline (r2 default); measured the kernel's bottleneck (the
@@ -616,9 +680,38 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
             head_parts.append(a)
         return jnp.concatenate(head_parts, axis=1)
 
+    def _cross_row_vpu(cq, mask, b, bc):
+        """One batch row's cross-attention, all Ncq heads in one op chain:
+        [S, Ncq]-oriented scores (source positions in sublanes), head sums
+        via the hs_ref constant contraction, sublane softmax — the same
+        zero-micro-dot formulation as the "vpu" self-attention (MHA, so no
+        lane tiling needed).  Keeps the exact-zero fully-masked-row rule."""
+        ckb = ck_ref[0, bc].astype(jnp.float32)                # [S, NcqH]
+        cvb = cv_ref[0, bc].astype(jnp.float32)
+        cqb = cq[b: b + 1]                                     # [1, NcqH]
+        mask_col = maskt_ref[:, b: b + 1] != 0                 # [S, 1]
+        s_c = jax.lax.dot_general(
+            cqb * ckb, hs_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # [S, Ncq]
+        s_c = jnp.where(mask_col, s_c, NEG)
+        m_c = jnp.max(s_c, 0, keepdims=True)                   # [1, Ncq]
+        m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
+        p_c = jnp.exp(s_c - m_c)                               # [S, Ncq]
+        pe = jax.lax.dot_general(
+            p_c, hst_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [S, NcqH]
+        acc = jnp.sum(pe * cvb, 0, keepdims=True)              # [1, NcqH]
+        denom = jnp.maximum(jnp.sum(p_c, 0, keepdims=True), 1e-30)
+        de = jax.lax.dot_general(
+            1.0 / denom, hst_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [1, NcqH]
+        return acc * de
+
     # cross heads each own their kv head (MHA): "kvseg" degenerates to the
-    # per-head loop; only "blockdiag" uses the block-diagonal-q single dot
-    cross_row = _cross_attn_row if attn_impl == "blockdiag" else _cross_row_micro
+    # per-head loop; "blockdiag" uses the block-diagonal-q single dot; "vpu"
+    # uses the elementwise + head-sum-contraction chain
+    cross_row = {"blockdiag": _cross_attn_row,
+                 "vpu": _cross_row_vpu}.get(attn_impl, _cross_row_micro)
 
     def _cross_body():
         xn = _rms_nogain(x_scr[:], eps).astype(jnp.bfloat16)
@@ -713,7 +806,7 @@ def fused_decode_step(
     mlp_tiles: int = MLP_TILES,
     ablate: str = "",
     skip_uncond: bool = False,
-    attn_impl: str = "headloop",  # headloop | kvseg | blockdiag (see _kernel)
+    attn_impl: str = "headloop",  # headloop | kvseg | blockdiag | vpu (see _kernel)
     valid_from: jax.Array | None = None,  # int32 [B] first valid cache slot
 ):
     """Run the full decoder stack for one token.  Returns
@@ -765,8 +858,11 @@ def fused_decode_step(
         in_specs=[
             pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),        # x_emb
             pl.BlockSpec((B, S), lambda l, p, *_: (0, 0)),        # cross mask (i32)
+            pl.BlockSpec((S, B), lambda l, p, *_: (0, 0)),        # cross mask ᵀ (i32)
             pl.BlockSpec((Nq * H, Nq * H), lambda l, p, *_: (0, 0)),   # RoPE swap (q/cq)
             pl.BlockSpec((Nkv * H, Nkv * H), lambda l, p, *_: (0, 0)),  # RoPE swap (k)
+            pl.BlockSpec((Nq * H, Nq), lambda l, p, *_: (0, 0)),  # head-sum M
+            pl.BlockSpec((Nq, Nq * H), lambda l, p, *_: (0, 0)),  # head-sum Mᵀ
             per_layer((1, D, (Nq + 2 * Nkv) * H)),            # wqkv
             per_layer((1, 1, (Nq + 2 * Nkv) * H)),            # sqkv
             per_layer((1, NqH, D)), per_layer((1, 1, D)),     # wo, so
@@ -814,6 +910,8 @@ def fused_decode_step(
                else jnp.ravel(valid_from).astype(jnp.int32))
     scalars = jnp.concatenate(
         [jnp.asarray(write_slot, jnp.int32).reshape(1), pos_rows, vf_rows])
+    hs = _head_sum_matrix(NqH, H)
+    mask_i32 = cross_mask.astype(jnp.int32)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -827,7 +925,7 @@ def fused_decode_step(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_os.environ.get("DIA_FUSED_VMEM_MB", "100")) * 1024 * 1024),
         interpret=interpret,
-    )(scalars, x_emb, cross_mask.astype(jnp.int32), pack.jq, pack.jk,
+    )(scalars, x_emb, mask_i32, mask_i32.T, pack.jq, pack.jk, hs, hs.T,
       pack.wqkv, pack.sqkv, pack.wo, pack.so,
       pack.wcq, pack.scq, pack.wco, pack.sco,
       pack.wg, pack.sg, pack.wu, pack.su, pack.wm, pack.sm,

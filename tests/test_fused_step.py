@@ -78,7 +78,7 @@ def test_reference_matches_scan_step(setup):
     assert np.isfinite(np.asarray(ref_x)).all()
 
 
-@pytest.mark.parametrize("impl", ["kvseg", "blockdiag"])
+@pytest.mark.parametrize("impl", ["kvseg", "blockdiag", "vpu"])
 def test_kernel_attn_impls_match_headloop(setup, impl):
     """The vectorized attention variants (per-kv-head segments, block-
     diagonal q) equal the default per-head micro-dot path — same math,
@@ -92,7 +92,7 @@ def test_kernel_attn_impls_match_headloop(setup, impl):
     np.testing.assert_allclose(np.asarray(alt_v), np.asarray(base_v), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["kvseg", "blockdiag"])
+@pytest.mark.parametrize("impl", ["kvseg", "blockdiag", "vpu"])
 def test_kernel_skip_uncond_attn_impls(setup, impl):
     """skip_uncond under each attention impl matches the unskipped default
     when the uncond rows' cross mask is all-False (the CFG layout)."""
@@ -123,7 +123,7 @@ def test_kernel_skip_uncond_exact(setup):
     np.testing.assert_array_equal(np.asarray(base_v), np.asarray(skip_v))
 
 
-@pytest.mark.parametrize("impl", ["headloop", "kvseg", "blockdiag"])
+@pytest.mark.parametrize("impl", ["headloop", "kvseg", "blockdiag", "vpu"])
 def test_kernel_per_row_position_valid_from(setup, impl):
     """Batched-path semantics: per-row RoPE positions and per-row valid_from
     windows (right-aligned voice-clone prompts) — kernel == reference under

@@ -70,6 +70,11 @@ def main():
         "kvsegskip": dict(attn_impl="kvseg", skip_uncond=True),
         "int4kvseg": dict(_pack="int4", attn_impl="kvseg", mlp_tiles=8,
                           skip_uncond=True),
+        # zero-micro-dot attention (elementwise q·K + head-sum contraction)
+        "vpu": dict(attn_impl="vpu"),
+        "vpuskip": dict(attn_impl="vpu", skip_uncond=True),
+        "int4vpu": dict(_pack="int4", attn_impl="vpu", mlp_tiles=8,
+                        skip_uncond=True),
     }
 
     def measure(kw):
