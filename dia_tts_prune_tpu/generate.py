@@ -43,6 +43,7 @@ import numpy as np
 from .config import DiaConfig
 from .models.dia import (
     KVCache,
+    QuantKVCache,
     decode_step,
     decode_step_fused,
     decode_step_scan,
@@ -78,6 +79,23 @@ def _resolve_seed(seed: int | None) -> int:
 
         return random.randint(0, 2**31 - 1)
     return int(seed)
+
+
+def _kv_cache_quant(params, batch: bool = False) -> bool:
+    """int8 self-attention cache eligibility (see models.dia.QuantKVCache):
+    only the scan decode step implements the dequant math, and the win is a
+    bandwidth one, so it rides the packed-int8 TPU serving default.
+    ``DIA_KV_INT8=1/0`` forces it on/off (default: on for TPU backends)."""
+    import os
+
+    env = os.environ.get("DIA_KV_INT8")
+    if env == "0":
+        return False
+    if _decode_step_fn(params, batch=batch) is not decode_step_scan:
+        return False
+    if not _params_are_packed_int8(params):
+        return False
+    return env == "1" or jax.default_backend() in ("tpu", "axon")
 
 
 def _decode_step_fn(params=None, batch: bool = False):
@@ -290,11 +308,25 @@ def _conditioning(params, config, enc_input, compute_dtype, cross_window):
     return cross_cache, cross_mask, padding_mask
 
 
-def _new_self_cache_sharded(config, batch, dtype, max_len):
+def _new_self_cache_sharded(config, batch, dtype, max_len, quant=False):
     """Self-attention cache, constrained to the TP layout (1 KV head/chip on
     v5e-4) when generation runs under a mesh — the constraint propagates
-    through the while-loop carry so the cache is never replicated."""
-    cache = new_self_cache(config, batch, dtype=dtype, max_len=max_len)
+    through the while-loop carry so the cache is never replicated.
+
+    ``quant`` allocates the int8 + per-token-scale cache (QuantKVCache):
+    half the per-step cache HBM reads; scales shard on the same head axis."""
+    cache = new_self_cache(config, batch, dtype=dtype, max_len=max_len,
+                           quant=quant)
+    if quant:
+        from jax.sharding import PartitionSpec as _P
+
+        scale_spec = _P(*self_cache_spec()[:-1])  # [L, B, T, N]: drop H
+        return QuantKVCache(
+            k=constrain(cache.k, self_cache_spec()),
+            v=constrain(cache.v, self_cache_spec()),
+            ks=constrain(cache.ks, scale_spec),
+            vs=constrain(cache.vs, scale_spec),
+        )
     return KVCache(
         k=constrain(cache.k, self_cache_spec()),
         v=constrain(cache.v, self_cache_spec()),
@@ -390,7 +422,8 @@ def generate_fused(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len)
+    self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len,
+                                         quant=_kv_cache_quant(params))
 
     if prefill_window is not None:
         self_cache = _run_prefill(
@@ -487,7 +520,8 @@ def generate_fused_batch(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = _new_self_cache_sharded(config, 2 * N, compute_dtype, cache_len)
+    self_cache = _new_self_cache_sharded(config, 2 * N, compute_dtype, cache_len,
+                                         quant=_kv_cache_quant(params, batch=True))
     if prefill_window is not None:
         self_cache = _run_prefill(
             params, config, tokens_buf, prefill_window, offsets, prefill_steps,
@@ -577,7 +611,7 @@ def generate_fused_batch(
 @partial(
     jax.jit,
     static_argnames=("config", "prefill_window", "compute_dtype_name",
-                     "cross_window", "cache_len"),
+                     "cross_window", "cache_len", "kv_quant"),
 )
 def prepare_stream(
     params,
@@ -589,6 +623,8 @@ def prepare_stream(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
+    kv_quant: bool | None = None,  # None = auto; False for consumers that
+    # replay the cache through decode_window (speculative verify)
 ):
     """Conditioning + voice-clone prefill + initial loop state for
     segment-wise (streaming) decoding.  Identical prefill semantics to
@@ -599,7 +635,9 @@ def prepare_stream(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
-    self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len)
+    self_cache = _new_self_cache_sharded(
+        config, CFG_BATCH, compute_dtype, cache_len,
+        quant=_kv_cache_quant(params) if kv_quant is None else kv_quant)
     if prefill_window is not None:
         self_cache = _run_prefill(
             params, config, tokens_buf[None], prefill_window,

@@ -53,6 +53,34 @@ class KVCache(NamedTuple):
     v: jax.Array
 
 
+class QuantKVCache(NamedTuple):
+    """int8 self-attention cache: the decode loop re-reads the whole cache
+    every token on a bandwidth-bound path, so storing K/V as int8 with
+    per-(token, head) symmetric scales halves the cache bytes vs bf16
+    (~75 → ~37 MB/step at the 1024 bucket).  The int8→f32 convert fuses into
+    the attention dot's operand read (same trick as the packed int8 weights);
+    scales are applied OUTSIDE the contractions: scores scale by ``ks[t, n]``
+    after the q·K dot, and probabilities are pre-scaled by ``vs[t, n]``
+    before the p·V dot.  Per-token scales make this near-lossless (each
+    128-value head row gets its own range).
+
+    k/v: int8 [L, B, T, N, H];  ks/vs: f32 [L, B, T, N]."""
+
+    k: jax.Array
+    v: jax.Array
+    ks: jax.Array
+    vs: jax.Array
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 over the trailing (head-dim) axis: [..., H] →
+    (int8 [..., H], f32 scales [...])."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12).astype(jnp.float32) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
 # ---------------------------------------------------------------------------
 # Parameter initialization
 # ---------------------------------------------------------------------------
@@ -237,14 +265,22 @@ def precompute_cross_cache(
 
 
 def new_self_cache(
-    config: DiaConfig, batch: int, max_len: int | None = None, dtype=jnp.float32
-) -> KVCache:
+    config: DiaConfig, batch: int, max_len: int | None = None, dtype=jnp.float32,
+    quant: bool = False,
+) -> KVCache | QuantKVCache:
     """Preallocate the decoder self-attention cache [L, B, T, Nkv, H]
     (reference: dia/state.py:72-109, with time-major layout for contiguous
-    single-step writes)."""
+    single-step writes).  ``quant`` allocates the int8 + per-token-scale
+    layout (QuantKVCache) — half the cache HBM traffic per decode step."""
     dec = config.model.decoder
     T = max_len if max_len is not None else config.data.audio_length
     shape = (dec.n_layer, batch, T, dec.kv_heads, dec.gqa_head_dim)
+    if quant:
+        return QuantKVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(shape[:-1], jnp.float32),
+            vs=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -368,12 +404,22 @@ def decoder_prefill(
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(layer_fn, x, (params["decoder"]["layers"], cross_cache.k, cross_cache.v))
-    ks = ks.astype(self_cache.k.dtype)
-    vs = vs.astype(self_cache.v.dtype)
-    new_cache = KVCache(
-        k=jax.lax.dynamic_update_slice(self_cache.k, ks, (0, 0, 0, 0, 0)),
-        v=jax.lax.dynamic_update_slice(self_cache.v, vs, (0, 0, 0, 0, 0)),
-    )
+    if isinstance(self_cache, QuantKVCache):
+        kq, kss = quantize_kv(ks)
+        vq, vss = quantize_kv(vs)
+        new_cache = QuantKVCache(
+            k=jax.lax.dynamic_update_slice(self_cache.k, kq, (0, 0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self_cache.v, vq, (0, 0, 0, 0, 0)),
+            ks=jax.lax.dynamic_update_slice(self_cache.ks, kss, (0, 0, 0, 0)),
+            vs=jax.lax.dynamic_update_slice(self_cache.vs, vss, (0, 0, 0, 0)),
+        )
+    else:
+        ks = ks.astype(self_cache.k.dtype)
+        vs = vs.astype(self_cache.v.dtype)
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(self_cache.k, ks, (0, 0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self_cache.v, vs, (0, 0, 0, 0, 0)),
+        )
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps=m.normalization_layer_epsilon)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
     return logits, new_cache
@@ -518,11 +564,16 @@ def decode_step_scan(
     scale = 1.0 / math.sqrt(H)
 
     layer_params = params["decoder"]["layers"]
+    quant = isinstance(self_cache, QuantKVCache)
     sck, scv, crk, crv = self_cache.k, self_cache.v, cross_cache.k, cross_cache.v
+    scks = self_cache.ks if quant else None
+    scvs = self_cache.vs if quant else None
     if n_layers is not None:
         layer_params = jax.tree.map(lambda a: a[:n_layers], layer_params)
         sck, scv, crk, crv = (sck[:n_layers], scv[:n_layers],
                               crk[:n_layers], crv[:n_layers])
+        if quant:
+            scks, scvs = scks[:n_layers], scvs[:n_layers]
 
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
 
@@ -535,7 +586,10 @@ def decode_step_scan(
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
 
     def layer_fn(x, xs):
-        lp, kc, vc, ck, cv = xs  # per-layer cache slices [B, T, N, H]
+        if quant:
+            lp, kc, vc, kcs, vcs, ck, cv = xs  # + scale slices [B, T, N]
+        else:
+            lp, kc, vc, ck, cv = xs  # per-layer cache slices [B, T, N, H]
         h = rms_norm(x, lp["pre_sa_norm"]["scale"], eps)
         q, k_new, v_new = attention_qkv(
             lp["self_attention"], h, h, position, position,
@@ -551,6 +605,10 @@ def decode_step_scan(
             "btngh,bsnh->bngts", qg, kc.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         ) * scale  # [B,Nkv,G,1,T]
+        if quant:
+            # int8 cache: the convert fused into the dot read raw int8 codes;
+            # apply the per-(token, head) scales to the scores
+            s_pre = s_pre * kcs.transpose(0, 2, 1)[:, :, None, None, :]
         s_pre = jnp.where(prefix_mask[:, :, None, :, :], s_pre, neg)
         # current-token score: q·k_new per kv-head group → [B,Nkv,G,1,1]
         s_cur = jnp.einsum(
@@ -561,8 +619,10 @@ def decode_step_scan(
         p_pre = jnp.exp(s_pre - m_all)  # masked slots underflow to 0
         p_cur = jnp.exp(s_cur - m_all)  # [B,Nkv,G,1,1]
         denom = jnp.sum(p_pre, axis=-1, keepdims=True) + p_cur
+        p_v = p_pre if not quant else (
+            p_pre * vcs.transpose(0, 2, 1)[:, :, None, None, :])
         acc = jnp.einsum(
-            "bngts,bsnh->btngh", p_pre.astype(compute_dtype), vc.astype(compute_dtype),
+            "bngts,bsnh->btngh", p_v.astype(compute_dtype), vc.astype(compute_dtype),
         ) + p_cur[..., 0].transpose(0, 3, 1, 2)[..., None] * v_new[:, :, :, None, :]
         sa = (acc / denom[..., 0].transpose(0, 3, 1, 2)[..., None]).astype(compute_dtype)
         sa = sa.reshape(B, 1, Nq, H)
@@ -582,17 +642,28 @@ def decode_step_scan(
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
         x = x + mlp_block(lp["mlp"], h).astype(x.dtype)
+        if quant:
+            return x, (k_new, v_new)
         return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
 
-    x, (ks, vs) = jax.lax.scan(layer_fn, x, (layer_params, sck, scv, crk, crv))
-    new_cache = KVCache(
-        k=jax.lax.dynamic_update_slice(
-            self_cache.k, ks, (0, 0, write_slot.astype(jnp.int32), 0, 0)
-        ),
-        v=jax.lax.dynamic_update_slice(
-            self_cache.v, vs, (0, 0, write_slot.astype(jnp.int32), 0, 0)
-        ),
-    )
+    xs_in = ((layer_params, sck, scv, scks, scvs, crk, crv) if quant
+             else (layer_params, sck, scv, crk, crv))
+    x, (ks, vs) = jax.lax.scan(layer_fn, x, xs_in)
+    w = write_slot.astype(jnp.int32)
+    if quant:
+        kq, kss = quantize_kv(ks)  # [L,B,1,N,H] → int8 + [L,B,1,N]
+        vq, vss = quantize_kv(vs)
+        new_cache = QuantKVCache(
+            k=jax.lax.dynamic_update_slice(self_cache.k, kq, (0, 0, w, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self_cache.v, vq, (0, 0, w, 0, 0)),
+            ks=jax.lax.dynamic_update_slice(self_cache.ks, kss, (0, 0, w, 0)),
+            vs=jax.lax.dynamic_update_slice(self_cache.vs, vss, (0, 0, w, 0)),
+        )
+    else:
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(self_cache.k, ks, (0, 0, w, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self_cache.v, vs, (0, 0, w, 0, 0)),
+        )
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)
     return logits, new_cache
@@ -748,8 +819,11 @@ def decode_step_fused(
         eps=m.normalization_layer_epsilon,
         rope_min=m.rope_min_timescale, rope_max=m.rope_max_timescale,
         interpret=interpret,
-        # perf-tuning knobs (tools/fused_ablate.py / A/B sweeps)
-        mlp_tiles=int(os.environ.get("DIA_FUSED_MT", "4")),
+        # perf-tuning knobs (tools/fused_ablate.py / A/B sweeps).  int4 packs
+        # fix the MLP tiling at repack time (wm nibble pairing is per-K-tile),
+        # so derive it from the pack; DIA_FUSED_MT only steers int8 packs.
+        mlp_tiles=(pack.sm.shape[1] // 2 if pack.mlp_int4
+                   else int(os.environ.get("DIA_FUSED_MT", "4"))),
         ablate=os.environ.get("DIA_FUSED_ABLATE", ""),
         attn_impl=os.environ.get("DIA_FUSED_ATTN", "headloop"),
         skip_uncond=skip_uncond_cross,

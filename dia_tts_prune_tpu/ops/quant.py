@@ -153,8 +153,11 @@ def quantize_params_int8_packed(
             # per-step weight bytes) int4 inside the fused pack — only the
             # Pallas kernel can exploit the layout (one HBM read feeds both
             # contraction halves), so the knob lives here with the pack.
+            # The int4 wm pairing is per-K-tile: match the kernel's tiling
+            # knob (DIA_FUSED_MT) so the knobs compose.
             fused_pack = repack_decoder_fused(
-                params, mlp_int4=os.environ.get("DIA_FUSED_INT4") == "1")
+                params, mlp_int4=os.environ.get("DIA_FUSED_INT4") == "1",
+                mlp_tiles=int(os.environ.get("DIA_FUSED_MT", "4")))
         except (KeyError, TypeError, AttributeError):
             fused_pack = None  # pruned/packed/nonstandard layouts: unavailable
 

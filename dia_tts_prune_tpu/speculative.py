@@ -313,6 +313,9 @@ class SpeculativeGenerator:
             prefill_window=window, compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
             cache_len=_cache_len_for(max_tokens, window or 0, cfg),
+            # the verify pass replays the cache through decode_window, which
+            # speaks only the bf16 KVCache layout
+            kv_quant=False,
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)
