@@ -51,6 +51,7 @@ from .models.dia import (
     encoder_forward,
     new_self_cache,
     precompute_cross_cache,
+    quantize_kv,
 )
 from .ops.delay import revert_audio_delay_np
 from .parallel.sharding import constrain, cross_cache_spec, self_cache_spec
@@ -308,6 +309,25 @@ def _conditioning(params, config, enc_input, compute_dtype, cross_window):
     return cross_cache, cross_mask, padding_mask
 
 
+def _quantize_cross(cross_cache, quant: bool):
+    """int8-quantize the cross-attention cache for the decode loop (same
+    layout contract as the self cache: QuantKVCache, per-(key, head) scales).
+    Prefill consumes the bf16 cache (full-attention path), so this runs
+    AFTER prefill; only the scan decode step speaks the quant layout."""
+    if not quant:
+        return cross_cache
+    from jax.sharding import PartitionSpec as _P
+
+    kq, ks = quantize_kv(cross_cache.k)
+    vq, vs = quantize_kv(cross_cache.v)
+    sspec = _P(*cross_cache_spec()[:-1])  # [L, B, S, N]: drop H
+    return QuantKVCache(
+        k=constrain(kq, cross_cache_spec()),
+        v=constrain(vq, cross_cache_spec()),
+        ks=constrain(ks, sspec), vs=constrain(vs, sspec),
+    )
+
+
 def _new_self_cache_sharded(config, batch, dtype, max_len, quant=False):
     """Self-attention cache, constrained to the TP layout (1 KV head/chip on
     v5e-4) when generation runs under a mesh — the constraint propagates
@@ -432,6 +452,7 @@ def generate_fused(
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
 
+    cross_cache = _quantize_cross(cross_cache, _kv_cache_quant(params))
     return _decode_loop_core(
         params, config, tokens_buf, self_cache, cross_cache, cross_mask, key,
         prefill_step, max_tokens, cfg_scale, temperature, top_p,
@@ -527,6 +548,7 @@ def generate_fused_batch(
             params, config, tokens_buf, prefill_window, offsets, prefill_steps,
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
+    cross_cache = _quantize_cross(cross_cache, _kv_cache_quant(params, batch=True))
 
     def cond(s: BatchLoopState):
         return (s.t < jnp.max(caps) - 1) & (~jnp.all(s.stopped))
@@ -635,15 +657,16 @@ def prepare_stream(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
+    quant = _kv_cache_quant(params) if kv_quant is None else kv_quant
     self_cache = _new_self_cache_sharded(
-        config, CFG_BATCH, compute_dtype, cache_len,
-        quant=_kv_cache_quant(params) if kv_quant is None else kv_quant)
+        config, CFG_BATCH, compute_dtype, cache_len, quant=quant)
     if prefill_window is not None:
         self_cache = _run_prefill(
             params, config, tokens_buf[None], prefill_window,
             jnp.zeros((1,), jnp.int32), prefill_step[None],
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
+    cross_cache = _quantize_cross(cross_cache, quant)
     state = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,

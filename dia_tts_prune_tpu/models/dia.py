@@ -81,6 +81,42 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _sdpa_quant(q, k8, v8, kscale, vscale, mask):
+    """``ops.modules.sdpa`` over an int8-quantized KV block (GQA, fp32
+    softmax): key scales apply to the scores AFTER the q·K contraction and
+    value scales pre-scale the probabilities before p·V, so both dots stream
+    raw int8 codes (the convert fuses into the operand read).  Preserves
+    sdpa's exact-zero fully-masked-row rule (ops/modules.py:262-277 — torch
+    SDPA parity on the CFG unconditional branch).
+
+    q [B,Tq,Nq,H]; k8/v8 int8 [B,S,Nkv,H]; scales f32 [B,S,Nkv];
+    mask bool broadcastable to [B,1,Tq,S] or None."""
+    B, Tq, Nq, H = q.shape
+    Nkv = k8.shape[2]
+    G = Nq // Nkv
+    qg = q.reshape(B, Tq, Nkv, G, H)
+    scores = jnp.einsum(
+        "btngh,bsnh->bngts", qg.astype(jnp.float32), k8.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(H))
+    scores = scores * kscale.transpose(0, 2, 1)[:, :, None, None, :]
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    if mask is not None:
+        m = mask[:, :, None, :, :] if mask.ndim == 4 else mask
+        scores = jnp.where(m, scores, neg)
+    row_max = jnp.max(scores, axis=-1, keepdims=True)
+    row_max = jnp.where(row_max <= neg * 0.5, 0.0, row_max)
+    unnorm = jnp.exp(scores - row_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    weights = unnorm / jnp.maximum(denom, jnp.float32(1e-30))
+    w_v = weights * vscale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bngts,bsnh->btngh", w_v, v8.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, Nq, H).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Parameter initialization
 # ---------------------------------------------------------------------------
@@ -565,15 +601,20 @@ def decode_step_scan(
 
     layer_params = params["decoder"]["layers"]
     quant = isinstance(self_cache, QuantKVCache)
+    quant_cross = isinstance(cross_cache, QuantKVCache)
     sck, scv, crk, crv = self_cache.k, self_cache.v, cross_cache.k, cross_cache.v
     scks = self_cache.ks if quant else None
     scvs = self_cache.vs if quant else None
+    crks = cross_cache.ks if quant_cross else None
+    crvs = cross_cache.vs if quant_cross else None
     if n_layers is not None:
         layer_params = jax.tree.map(lambda a: a[:n_layers], layer_params)
         sck, scv, crk, crv = (sck[:n_layers], scv[:n_layers],
                               crk[:n_layers], crv[:n_layers])
         if quant:
             scks, scvs = scks[:n_layers], scvs[:n_layers]
+        if quant_cross:
+            crks, crvs = crks[:n_layers], crvs[:n_layers]
 
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
 
@@ -586,10 +627,16 @@ def decode_step_scan(
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
 
     def layer_fn(x, xs):
+        # xs layout varies with cache quantization: scale slices [B, T, N]
+        # ride alongside their int8 cache slices
+        lp, kc, vc = xs[0], xs[1], xs[2]
+        i = 3
         if quant:
-            lp, kc, vc, kcs, vcs, ck, cv = xs  # + scale slices [B, T, N]
-        else:
-            lp, kc, vc, ck, cv = xs  # per-layer cache slices [B, T, N, H]
+            kcs, vcs = xs[i], xs[i + 1]
+            i += 2
+        ck, cv = xs[i], xs[i + 1]
+        if quant_cross:
+            ckks, ckvs = xs[i + 2], xs[i + 3]
         h = rms_norm(x, lp["pre_sa_norm"]["scale"], eps)
         q, k_new, v_new = attention_qkv(
             lp["self_attention"], h, h, position, position,
@@ -631,13 +678,20 @@ def decode_step_scan(
         h = rms_norm(x, lp["pre_ca_norm"]["scale"], eps)
         cq = dense_general(h, lp["cross_attention"]["q_proj"]["kernel"])
         cq = rope(cq, position, m.rope_min_timescale, m.rope_max_timescale)
+        if quant_cross:
+            attend = lambda sl: _sdpa_quant(  # noqa: E731
+                cq[sl], ck[sl], cv[sl], ckks[sl], ckvs[sl],
+                cross_attn_mask[sl] if cross_attn_mask is not None else None)
+        else:
+            attend = lambda sl: sdpa(  # noqa: E731
+                cq[sl], ck[sl], cv[sl],
+                cross_attn_mask[sl] if cross_attn_mask is not None else None)
         if skip_uncond_cross:
             Bh = B // 2
-            ca_c = sdpa(cq[Bh:], ck[Bh:], cv[Bh:],
-                        cross_attn_mask[Bh:] if cross_attn_mask is not None else None)
+            ca_c = attend(slice(Bh, None))
             ca = jnp.concatenate([jnp.zeros_like(ca_c), ca_c], axis=0)
         else:
-            ca = sdpa(cq, ck, cv, cross_attn_mask)
+            ca = attend(slice(None))
         x = x + attention_out(lp["cross_attention"], ca).astype(x.dtype)
 
         h = rms_norm(x, lp["pre_mlp_norm"]["scale"], eps)
@@ -646,8 +700,12 @@ def decode_step_scan(
             return x, (k_new, v_new)
         return x, (k_new.astype(self_cache.k.dtype), v_new.astype(self_cache.v.dtype))
 
-    xs_in = ((layer_params, sck, scv, scks, scvs, crk, crv) if quant
-             else (layer_params, sck, scv, crk, crv))
+    xs_in = (layer_params, sck, scv)
+    if quant:
+        xs_in += (scks, scvs)
+    xs_in += (crk, crv)
+    if quant_cross:
+        xs_in += (crks, crvs)
     x, (ks, vs) = jax.lax.scan(layer_fn, x, xs_in)
     w = write_slot.astype(jnp.int32)
     if quant:

@@ -79,6 +79,34 @@ def test_quant_cache_step_close_to_f32_cache(packed):
     assert np.asarray(new_q.ks[:, :, W]).min() > 0
 
 
+def test_quant_cross_step_close_and_exact_zero_rows(packed):
+    """Scan step with an int8-quantized CROSS cache: logits stay within 2%
+    of the bf16-cross run, and a fully-masked row (the CFG unconditional
+    branch) still yields the bf16 path's exact behavior (masked softmax
+    zero rule carried into _sdpa_quant)."""
+    params, config = packed
+    from dia_tts_prune_tpu.models.dia import quantize_kv as qkv
+
+    B, T, W = 2, 32, 4
+    cache = new_self_cache(config, B, max_len=T, dtype=jnp.float32)
+    enc = jnp.zeros((B, 16), jnp.int32)
+    st = new_encoder_state(config, enc)
+    eo = encoder_forward(params, config, enc, st.positions, st.attn_mask, jnp.float32)
+    cc = precompute_cross_cache(params, config, eo, st.positions)
+    kq, ks = qkv(cc.k)
+    vq, vs = qkv(cc.v)
+    ccq = QuantKVCache(k=kq, v=vq, ks=ks, vs=vs)
+    # row 0 fully masked (uncond), row 1 attends everything
+    mask = jnp.asarray([False, True])[:, None, None, None] & jnp.ones(
+        (B, 1, 1, eo.shape[1]), bool)
+    tgt = jnp.ones((B, 1, config.data.channels), jnp.int32)
+    pos = jnp.full((B, 1), W, jnp.int32)
+    lf, _ = decode_step_scan(params, config, tgt, pos, jnp.int32(W), cache, cc, mask)
+    lq, _ = decode_step_scan(params, config, tgt, pos, jnp.int32(W), cache, ccq, mask)
+    rel = np.abs(np.asarray(lf) - np.asarray(lq)).max() / np.abs(np.asarray(lf)).max()
+    assert rel < 0.02, rel
+
+
 def test_e2e_quant_matches_bf16_cache_greedy(packed):
     """Forced-on int8 cache vs forced-off: greedy tokens agree on the tiny
     config (quantization noise is far below argmax margins here); both runs
