@@ -48,6 +48,46 @@ def _quantize(params, mode: str):
     raise ValueError(f"unknown quant mode {mode}")
 
 
+def compare_kv_int8(params, config, steps: int = 256, seed: int = 0,
+                    text: str = DEFAULT_TEXT, weights_label: str = "random") -> dict:
+    """int8 KV cache vs bf16 KV cache, SAME packed-int8 weights — isolates
+    the QuantKVCache numerics (the serving-default decision is cache on/off
+    given int8 weights).  Greedy trajectories under both cache formats."""
+    import os
+
+    import numpy as np
+
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    params_q = quantize_params_int8_packed(params)
+    steps = min(steps, config.data.audio_length - 32)
+    max_tokens = steps + config.data.max_delay + 2
+    gen = DiaGenerator(params_q, config, "bfloat16")
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["DIA_KV_INT8"] = flag
+        try:
+            outs[flag] = np.asarray(gen.generate_tokens(
+                text, max_tokens=max_tokens, temperature=0.0, seed=seed,
+                cache_len=max_tokens))
+        finally:
+            del os.environ["DIA_KV_INT8"]
+    a, b = outs["0"], outs["1"]
+    n = min(a.shape[0], b.shape[0])
+    eq = a[:n] == b[:n]
+    row_eq = eq.all(axis=1) if n else np.array([])
+    return {
+        "metric": "kv_int8_quality_vs_bf16_cache",
+        "greedy_token_agreement": round(float(eq.mean()), 4) if n else None,
+        "first_divergence_step": (int(np.argmin(row_eq))
+                                  if n and not row_eq.all() else None),
+        "rows_compared": int(n),
+        "weights": weights_label,
+    }
+
+
 def compare(params, config, steps: int = 256, seed: int = 0,
             text: str = DEFAULT_TEXT, weights_label: str = "random",
             mode: str = "int8") -> dict:
@@ -134,7 +174,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", type=str, default="int8",
-                   choices=["int8", "int4", "hybrid"])
+                   choices=["int8", "int4", "hybrid", "kv"])
     args = p.parse_args(argv)
 
     import jax
@@ -152,8 +192,12 @@ def main(argv=None):
 
     config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
     params = init_params(config, jax.random.PRNGKey(args.seed), jnp.bfloat16)
-    print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed,
-                             mode=args.mode)))
+    if args.mode == "kv":
+        print(json.dumps(compare_kv_int8(params, config, steps=args.steps,
+                                         seed=args.seed)))
+    else:
+        print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed,
+                                 mode=args.mode)))
 
 
 if __name__ == "__main__":

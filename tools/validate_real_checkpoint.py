@@ -196,11 +196,17 @@ def main() -> int:
         greedy-token agreement + teacher-forced logit delta vs bf16
         (tools/int8_quality.py — its random-weight numbers are the worst
         case; this stage produces the decision-grade ones)."""
-        from int8_quality import compare  # noqa: E402 — same tools/ dir
+        from int8_quality import compare, compare_kv_int8  # noqa: E402
 
         sys.path.insert(0, str(Path(__file__).resolve().parent))
-        return compare(dia.params, dia.config, steps=min(args.max_tokens, 256),
-                       seed=args.seed, weights_label="real")
+        return {
+            "weights": compare(dia.params, dia.config,
+                               steps=min(args.max_tokens, 256),
+                               seed=args.seed, weights_label="real"),
+            "kv_cache": compare_kv_int8(dia.params, dia.config,
+                                        steps=min(args.max_tokens, 256),
+                                        seed=args.seed, weights_label="real"),
+        }
 
     if dia is not None:
         sys.path.insert(0, str(Path(__file__).resolve().parent))
