@@ -168,3 +168,32 @@ def test_sharded_generation_matches_single_device():
     with mesh:
         out = gen_sharded.generate_tokens("[S1] sharded gen", max_tokens=40, temperature=0.0)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_generation_quant_kv_matches_single_device(monkeypatch):
+    """TP-sharded generation with the int8 KV cache (DIA_KV_INT8=1, packed
+    int8 weights): the QuantKVCache sharding constraints (k/v on the head
+    axis, scales on the same axis minus H) must survive SPMD partitioning —
+    tokens equal the single-device quant run."""
+    from dia_tts_prune_tpu.generate import DiaGenerator, _kv_cache_quant
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    packed = quantize_params_int8_packed(params, fused=False)
+    monkeypatch.setenv("DIA_KV_INT8", "1")
+    assert _kv_cache_quant(packed)
+
+    ref = DiaGenerator(packed, cfg).generate_tokens(
+        "[S1] sharded quant kv", max_tokens=40, temperature=0.0)
+
+    # shard the bf16 tree, then quantize under the mesh (packed kernels are
+    # custom pytree nodes shard_params doesn't traverse; quantizing sharded
+    # arrays yields sharded packed kernels)
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    with mesh:
+        sp_packed = quantize_params_int8_packed(sp, fused=False)
+        out = DiaGenerator(sp_packed, cfg).generate_tokens(
+            "[S1] sharded quant kv", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(out, ref)
