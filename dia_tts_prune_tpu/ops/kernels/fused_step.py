@@ -129,30 +129,42 @@ def _q4_nibble(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     Returns (packed s8 [L, K//2, N], scales f32 [L, 2, N]) — row k of the
     packed matrix carries original row k in its low nibble and row k + K/2 in
-    its high nibble, each half symmetric int4 with per-(half, column) scales."""
+    its high nibble, each half symmetric int4 with per-(half, column) scales.
+
+    Mapped per layer (``lax.map``): the whole-stack int32 intermediates of a
+    1.6B MLP matrix are ~1.2 GB each and several live at once — enough to
+    RESOURCE_EXHAUST a 16 GB chip alongside the bf16 params + int8 pack."""
     L, K, N = w2.shape
-    halves = w2.reshape(L, 2, K // 2, N)                       # [L, 2, K/2, N]
-    absmax = jnp.max(jnp.abs(halves), axis=2, keepdims=True)   # [L, 2, 1, N]
-    scale = jnp.maximum(absmax, 1e-12) / 7.0
-    q = jnp.clip(jnp.round(halves / scale), -7, 7).astype(jnp.int32)
-    packed = ((q[:, 1] << 4) | (q[:, 0] & 0xF)).astype(jnp.int8)  # [L, K/2, N]
-    return packed, scale[:, :, 0, :].astype(jnp.float32)       # [L, 2, N]
+
+    def one(w):  # [K, N]
+        halves = w.reshape(2, K // 2, N)
+        absmax = jnp.max(jnp.abs(halves), axis=1, keepdims=True)  # [2, 1, N]
+        scale = jnp.maximum(absmax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(halves / scale), -7, 7).astype(jnp.int32)
+        packed = ((q[1] << 4) | (q[0] & 0xF)).astype(jnp.int8)    # [K/2, N]
+        return packed, scale[:, 0, :].astype(jnp.float32)         # [2, N]
+
+    return jax.lax.map(one, w2)
 
 
 def _q4_nibble_tiled(w2: jax.Array, tiles: int) -> tuple[jax.Array, jax.Array]:
     """Nibble-pack [L, K, N] where K is consumed in ``tiles`` kernel K-tiles:
     rows are paired WITHIN each tile (local row r ↔ r + tile/2) so a packed
     K-tile block still matches its activation tile.  Scales [L, 2*tiles, N]
-    (lo, hi per tile)."""
+    (lo, hi per tile).  Per-layer mapped — see _q4_nibble."""
     L, K, N = w2.shape
     tile = K // tiles
-    wt = w2.reshape(L, tiles, 2, tile // 2, N)
-    absmax = jnp.max(jnp.abs(wt), axis=3, keepdims=True)       # [L, T, 2, 1, N]
-    scale = jnp.maximum(absmax, 1e-12) / 7.0
-    q = jnp.clip(jnp.round(wt / scale), -7, 7).astype(jnp.int32)
-    packed = ((q[:, :, 1] << 4) | (q[:, :, 0] & 0xF)).astype(jnp.int8)
-    return (packed.reshape(L, K // 2, N),
-            scale[:, :, :, 0, :].reshape(L, 2 * tiles, N).astype(jnp.float32))
+
+    def one(w):  # [K, N]
+        wt = w.reshape(tiles, 2, tile // 2, N)
+        absmax = jnp.max(jnp.abs(wt), axis=2, keepdims=True)      # [T, 2, 1, N]
+        scale = jnp.maximum(absmax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(wt / scale), -7, 7).astype(jnp.int32)
+        packed = ((q[:, 1] << 4) | (q[:, 0] & 0xF)).astype(jnp.int8)
+        return (packed.reshape(K // 2, N),
+                scale[:, :, 0, :].reshape(2 * tiles, N).astype(jnp.float32))
+
+    return jax.lax.map(one, w2)
 
 
 def repack_decoder_fused(params: Params, mlp_int4: bool = False,

@@ -42,7 +42,7 @@ def main():
     dec = m.decoder
     dtype = jnp.bfloat16
     params = init_params(config, jax.random.PRNGKey(0), dtype)
-    pack8 = repack_decoder_fused(params)
+    pack8 = None  # lazy: int4-only runs must not carry the unused int8 pack
     pack4 = {}  # built lazily per mlp_tiles (wm nibble pairing is per-K-tile)
     B, S, T = 2, 128, args.cache_len
 
@@ -78,6 +78,7 @@ def main():
     }
 
     def measure(kw):
+        nonlocal pack8
         kw = dict(kw)
         if kw.pop("_pack", None) == "int4":
             mt = kw.get("mlp_tiles", 4)
@@ -86,6 +87,8 @@ def main():
                                                  mlp_tiles=mt)
             pack = pack4[mt]
         else:
+            if pack8 is None:
+                pack8 = repack_decoder_fused(params)
             pack = pack8
         def make(steps):
             @jax.jit
