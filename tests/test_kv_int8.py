@@ -151,6 +151,35 @@ def test_e2e_quant_batched_matches_single(packed):
         del os.environ["DIA_KV_INT8"]
 
 
+def test_e2e_quant_batched_voice_clone_matches_single(packed):
+    """Batched voice-clone under the quant cache: right-aligned prompts give
+    per-row valid_from windows; the quant scales must mask identically to
+    the bf16 path — each prompted stream equals its single-stream quant run."""
+    params, config = packed
+    from dia_tts_prune_tpu.generate import DiaGenerator
+
+    os.environ["DIA_KV_INT8"] = "1"
+    try:
+        gen = DiaGenerator(params, config, "float32")
+        C = config.data.channels
+        prompts = [np.ones((10, C), np.int32), np.full((6, C), 2, np.int32)]
+        texts = ["[S1] clone a", "[S2] clone b longer text"]
+        ptexts = ["[S1] pa.", "[S2] pb."]
+        singles = [
+            np.asarray(gen.generate_tokens(
+                t, max_tokens=40, temperature=0.0,
+                audio_prompt_codes=p, audio_prompt_text=pt))
+            for t, p, pt in zip(texts, prompts, ptexts)
+        ]
+        batched = gen.generate_tokens_batch(
+            texts, max_tokens=40, temperature=0.0,
+            audio_prompt_codes=prompts, audio_prompt_texts=ptexts)
+        for got, want in zip(batched, singles):
+            np.testing.assert_array_equal(np.asarray(got), want)
+    finally:
+        del os.environ["DIA_KV_INT8"]
+
+
 def test_e2e_quant_voice_clone_prefill(packed):
     """Voice-clone prefill writes quantized K/V (decoder_prefill path) and
     the continuation decodes cleanly."""
