@@ -217,10 +217,18 @@ def main(argv=None):
     results = []
     if args.pruned != "none":
         params, config = _apply_pruning(params, config, args.pruned)
+        label = f"RTF_pruned_{args.pruned}_{size}{suffix}"
+        if args.int8 and args.pruned.startswith(("shrink", "unstructured")):
+            # pruning composes with the int8 serving default: physically
+            # shrunk shapes are ordinary dense tensors (block-sparse packed
+            # kernels are already their own storage format)
+            from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+            params = quantize_params_int8_packed(params)
+            label = f"RTF_pruned-int8_{args.pruned}_{size}{suffix}"
         gen = DiaGenerator(params, config, args.dtype)
         results.append(measure(
-            gen, config, args, f"RTF_pruned_{args.pruned}_{size}{suffix}",
-            param_count(params), ttfa_cache_len))
+            gen, config, args, label, param_count(params), ttfa_cache_len))
     elif args.int4 is not None:
         from dia_tts_prune_tpu.ops.quant import (
             quantize_params_int4_packed,
