@@ -92,7 +92,13 @@ def _kv_cache_quant(params, batch: bool = False) -> bool:
     env = os.environ.get("DIA_KV_INT8")
     if env == "0":
         return False
-    if _decode_step_fn(params, batch=batch) is not decode_step_scan:
+    fn = _decode_step_fn(params, batch=batch)
+    if fn is decode_step_fused:
+        # the fused kernel reads int8 caches + scale lines directly, except
+        # under the vpu attention orientation (no lane-major scale line)
+        if os.environ.get("DIA_FUSED_ATTN", "headloop") == "vpu":
+            return False
+    elif fn is not decode_step_scan:
         return False
     if not _params_are_packed_int8(params):
         return False
@@ -401,7 +407,8 @@ def _run_prefill(
 @partial(
     jax.jit,
     static_argnames=("config", "prefill_window", "cross_window", "cache_len",
-                     "greedy", "cfg_filter_top_k", "compute_dtype_name"),
+                     "greedy", "cfg_filter_top_k", "compute_dtype_name",
+                     "kv_quant"),
     donate_argnames=("tokens_buf",),
 )
 def generate_fused(
@@ -417,6 +424,8 @@ def generate_fused(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
+    kv_quant: bool | None = None,  # int8 KV caches; STATIC so env changes
+    # between calls cannot silently hit a stale cached executable
 ):
     """Whole generation — conditioning, prompt prefill, decode loop — as ONE
     compiled dispatch.
@@ -442,8 +451,9 @@ def generate_fused(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
+    quant = _kv_cache_quant(params) if kv_quant is None else kv_quant
     self_cache = _new_self_cache_sharded(config, CFG_BATCH, compute_dtype, cache_len,
-                                         quant=_kv_cache_quant(params))
+                                         quant=quant)
 
     if prefill_window is not None:
         self_cache = _run_prefill(
@@ -452,7 +462,7 @@ def generate_fused(
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
 
-    cross_cache = _quantize_cross(cross_cache, _kv_cache_quant(params))
+    cross_cache = _quantize_cross(cross_cache, quant)
     return _decode_loop_core(
         params, config, tokens_buf, self_cache, cross_cache, cross_mask, key,
         prefill_step, max_tokens, cfg_scale, temperature, top_p,
@@ -476,7 +486,8 @@ class BatchLoopState(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "prefill_window", "greedy", "cfg_filter_top_k",
-                     "compute_dtype_name", "cross_window", "cache_len"),
+                     "compute_dtype_name", "cross_window", "cache_len",
+                     "kv_quant"),
     donate_argnames=("tokens_buf",),
 )
 def generate_fused_batch(
@@ -494,6 +505,7 @@ def generate_fused_batch(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
+    kv_quant: bool | None = None,  # static — see generate_fused
 ):
     """N-stream batched generation — with per-stream voice-clone prompts —
     in one dispatch.
@@ -541,14 +553,16 @@ def generate_fused_batch(
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
     )
+    quant = (_kv_cache_quant(params, batch=True) if kv_quant is None
+             else kv_quant)
     self_cache = _new_self_cache_sharded(config, 2 * N, compute_dtype, cache_len,
-                                         quant=_kv_cache_quant(params, batch=True))
+                                         quant=quant)
     if prefill_window is not None:
         self_cache = _run_prefill(
             params, config, tokens_buf, prefill_window, offsets, prefill_steps,
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
-    cross_cache = _quantize_cross(cross_cache, _kv_cache_quant(params, batch=True))
+    cross_cache = _quantize_cross(cross_cache, quant)
 
     def cond(s: BatchLoopState):
         return (s.t < jnp.max(caps) - 1) & (~jnp.all(s.stopped))
@@ -814,6 +828,7 @@ class DiaGenerator:
             cache_len=(_cache_len_for(max_tokens, window or 0, cfg)
                        if cache_len is None
                        else _cache_len_for(cache_len, window or 0, cfg)),
+            kv_quant=_kv_cache_quant(self.params),
         )
         tokens = np.asarray(tokens)
         final_step = int(final_step)
@@ -880,6 +895,7 @@ class DiaGenerator:
             prefill_window=window, compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
             cache_len=_cache_len_for(max_tokens, window or 0, cfg),
+            kv_quant=_kv_cache_quant(self.params),
         )
         greedy = temperature == 0.0
         f_cfg = jnp.asarray(cfg_scale, jnp.float32)
@@ -1004,6 +1020,7 @@ class DiaGenerator:
             compute_dtype_name=self.compute_dtype,
             cross_window=_cross_window_for(enc_input, cfg),
             cache_len=_cache_len_for(cache_len or int(caps.max()), start, cfg),
+            kv_quant=_kv_cache_quant(self.params, batch=True),
         )
         tokens = np.asarray(tokens)
         final_steps = np.asarray(final_steps)

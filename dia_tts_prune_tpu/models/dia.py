@@ -870,6 +870,13 @@ def decode_step_fused(
     pack = params["decoder"]["fused_pack"]
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
     interpret = os.environ.get("DIA_FUSED_INTERPRET") == "1"
+    quant = isinstance(self_cache, QuantKVCache)
+    quant_kw = {}
+    if quant:
+        assert isinstance(cross_cache, QuantKVCache), (
+            "quant self-cache implies quant cross-cache (same serving flag)")
+        quant_kw = dict(self_ks=self_cache.ks, self_vs=self_cache.vs,
+                        cross_ks=cross_cache.ks, cross_vs=cross_cache.vs)
     x_out, ks, vs = fused_decode_step(
         pack, x[:, 0], position[:, 0], write_slot.astype(jnp.int32),
         self_cache.k, self_cache.v, cross_cache.k, cross_cache.v,
@@ -886,15 +893,27 @@ def decode_step_fused(
         attn_impl=os.environ.get("DIA_FUSED_ATTN", "headloop"),
         skip_uncond=skip_uncond_cross,
         valid_from=valid_from,
+        **quant_kw,
     )
-    new_cache = KVCache(
-        k=jax.lax.dynamic_update_slice(
-            self_cache.k, ks[:, :, None].astype(self_cache.k.dtype),
-            (0, 0, write_slot.astype(jnp.int32), 0, 0)),
-        v=jax.lax.dynamic_update_slice(
-            self_cache.v, vs[:, :, None].astype(self_cache.v.dtype),
-            (0, 0, write_slot.astype(jnp.int32), 0, 0)),
-    )
+    w = write_slot.astype(jnp.int32)
+    if quant:
+        kq, kss = quantize_kv(ks[:, :, None])  # [L,B,1,N,H] → int8 + [L,B,1,N]
+        vq, vss = quantize_kv(vs[:, :, None])
+        new_cache = QuantKVCache(
+            k=jax.lax.dynamic_update_slice(self_cache.k, kq, (0, 0, w, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self_cache.v, vq, (0, 0, w, 0, 0)),
+            ks=jax.lax.dynamic_update_slice(self_cache.ks, kss, (0, 0, w, 0)),
+            vs=jax.lax.dynamic_update_slice(self_cache.vs, vss, (0, 0, w, 0)),
+        )
+    else:
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                self_cache.k, ks[:, :, None].astype(self_cache.k.dtype),
+                (0, 0, w, 0, 0)),
+            v=jax.lax.dynamic_update_slice(
+                self_cache.v, vs[:, :, None].astype(self_cache.v.dtype),
+                (0, 0, w, 0, 0)),
+        )
     h = rms_norm(x_out[:, None].astype(compute_dtype),
                  params["decoder"]["norm"]["scale"],
                  m.normalization_layer_epsilon)

@@ -307,13 +307,22 @@ def fused_step_reference(
     rope_min: float,
     rope_max: float,
     valid_from: jax.Array | None = None,  # int32 [B] first valid cache slot
+    self_ks: jax.Array | None = None,   # f32 [L, B, T, Nkv] int8-cache scales
+    self_vs: jax.Array | None = None,
+    cross_ks: jax.Array | None = None,  # f32 [L, B, S, Ncq]
+    cross_vs: jax.Array | None = None,
 ):
-    """Layer-scan reference with EXACTLY the kernel's math/dtype order."""
+    """Layer-scan reference with EXACTLY the kernel's math/dtype order.
+
+    When the scale arrays are given, self_k/v and cross_k/v hold int8 codes
+    (QuantKVCache layout): key scales apply to scores after the q·K
+    contraction, value scales fold into the probabilities before p·V."""
     L, B, T, Nkv, H = self_k.shape
     Ncq = cross_k.shape[3]
     Nq = pack.wo.shape[1] // H
     G = Nq // Nkv
     D = x_emb.shape[-1]
+    kv_quant = self_ks is not None
     scale = 1.0 / math.sqrt(H)
     slot_ids = jnp.arange(T, dtype=jnp.int32)
     # per-row RoPE positions + valid-prefix window (batched voice-clone rows
@@ -329,7 +338,9 @@ def fused_step_reference(
 
     def layer(x32, xs):
         (wqkv, sqkv, wo, so, wcq, scq, wco, sco, wg, sg, wu, su, wm, sm,
-         kc, vc, ck, cv) = xs
+         kc, vc, ck, cv) = xs[:18]
+        if kv_quant:
+            kcs, vcs, cks, cvs = xs[18:]  # [B, T, Nkv] / [B, S, Ncq]
         xn = _rms_nogain(x32, eps).astype(jnp.bfloat16)
         qkv = dot8(xn, wqkv, sqkv)  # f32 [B, (Nq+2Nkv)H]
         q = _rope_flat(qkv[:, : Nq * H], position, H, rope_min, rope_max)
@@ -341,13 +352,16 @@ def fused_step_reference(
         vn = v_new.reshape(B, Nkv, H)
         # scores vs cache prefix + current token, merged softmax (fp32)
         s_pre = jnp.einsum("bngh,btnh->bngt", qg, kc.astype(jnp.float32)) * scale
+        if kv_quant:
+            s_pre = s_pre * kcs.transpose(0, 2, 1)[:, :, None, :]
         s_pre = jnp.where(prefix[:, None, None, :], s_pre, NEG)
         s_cur = jnp.einsum("bngh,bnh->bng", qg, kn)[..., None] * scale
         m_all = jnp.maximum(jnp.max(s_pre, -1, keepdims=True), s_cur)
         p_pre = jnp.exp(s_pre - m_all)
         p_cur = jnp.exp(s_cur - m_all)
         denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
-        acc = jnp.einsum("bngt,btnh->bngh", p_pre, vc.astype(jnp.float32))
+        p_v = p_pre if not kv_quant else p_pre * vcs.transpose(0, 2, 1)[:, :, None, :]
+        acc = jnp.einsum("bngt,btnh->bngh", p_v, vc.astype(jnp.float32))
         acc = acc + p_cur * vn[:, :, None, :]
         sa = (acc / denom).reshape(B, Nq * H).astype(jnp.bfloat16)
         x32 = x32 + dot8(sa, wo, so)
@@ -356,11 +370,14 @@ def fused_step_reference(
         cq = _rope_flat(dot8(xn, wcq, scq), position, H, rope_min, rope_max)
         cqh = cq.reshape(B, Ncq, H)
         s_c = jnp.einsum("bnh,bsnh->bns", cqh, ck.astype(jnp.float32)) * scale
+        if kv_quant:
+            s_c = s_c * cks.transpose(0, 2, 1)
         s_c = jnp.where(cross_mask[:, None, :], s_c, NEG)
         m_c = jnp.max(s_c, -1, keepdims=True)
         m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
         p_c = jnp.exp(s_c - m_c)
-        ca = jnp.einsum("bns,bsnh->bnh", p_c, cv.astype(jnp.float32))
+        p_cv = p_c if not kv_quant else p_c * cvs.transpose(0, 2, 1)
+        ca = jnp.einsum("bns,bsnh->bnh", p_cv, cv.astype(jnp.float32))
         ca = ca / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
         ca = ca.reshape(B, Ncq * H).astype(jnp.bfloat16)
         x32 = x32 + dot8(ca, wco, sco)
@@ -392,14 +409,17 @@ def fused_step_reference(
                 h = (_silu(g) * u).astype(jnp.bfloat16)
                 acc_m = acc_m + dot8(h, wm[sl, :], sm)
         x32 = x32 + acc_m
-        return x32, (kn.astype(self_k.dtype), vn.astype(self_v.dtype))
+        # under quant caches the int8 dtype is codes, not values — emit f32
+        # new rows and let the caller quantize before the cache commit
+        out_dt = jnp.float32 if kv_quant else self_k.dtype
+        return x32, (kn.astype(out_dt), vn.astype(out_dt))
 
-    x32, (ks, vs) = jax.lax.scan(
-        layer, x_emb.astype(jnp.float32),
-        (pack.wqkv, pack.sqkv, pack.wo, pack.so, pack.wcq, pack.scq,
-         pack.wco, pack.sco, pack.wg, pack.sg, pack.wu, pack.su,
-         pack.wm, pack.sm, self_k, self_v, cross_k, cross_v),
-    )
+    xs_in = (pack.wqkv, pack.sqkv, pack.wo, pack.so, pack.wcq, pack.scq,
+             pack.wco, pack.sco, pack.wg, pack.sg, pack.wu, pack.su,
+             pack.wm, pack.sm, self_k, self_v, cross_k, cross_v)
+    if kv_quant:
+        xs_in += (self_ks, self_vs, cross_ks, cross_vs)
+    x32, (ks, vs) = jax.lax.scan(layer, x_emb.astype(jnp.float32), xs_in)
     return x32, ks, vs  # ks/vs: [L, B, Nkv, H]
 
 
@@ -414,10 +434,18 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
             wcq_ref, scq_ref, wco_ref, sco_ref,
             wg_ref, sg_ref, wu_ref, su_ref, wm_ref, sm_ref,
             kc_ref, vc_ref, ck_ref, cv_ref,
-            xo_ref, kn_ref, vn_ref,
-            x_scr, xn_scr, acc_scr,
-            *, L, B, D, T, S, Nq, Nkv, Ncq, H, F, eps, rope_min, rope_max,
-            mlp_tiles, ablate, skip_uncond, mlp_int4, attn_impl):
+            *rest,  # [+4 scale refs when kv_quant] then outputs and scratch
+            L, B, D, T, S, Nq, Nkv, Ncq, H, F, eps, rope_min, rope_max,
+            mlp_tiles, ablate, skip_uncond, mlp_int4, attn_impl, kv_quant):
+    if kv_quant:
+        # int8 KV caches: scales transposed lane-major — ksc [1,B,Nkv,T],
+        # csc [1,Bc,Ncq,S] — so a per-(row, head) scale line is a [1, T/S]
+        # lane vector
+        (ksc_ref, vsc_ref, cks_ref, cvs_ref,
+         xo_ref, kn_ref, vn_ref, x_scr, xn_scr, acc_scr) = rest
+    else:
+        ksc_ref = vsc_ref = cks_ref = cvs_ref = None
+        (xo_ref, kn_ref, vn_ref, x_scr, xn_scr, acc_scr) = rest
     l = pl.program_id(0)
     p = pl.program_id(1)
     ablate_set = set(ablate.split(","))  # exact tokens ("mergecross" != "cross")
@@ -540,6 +568,8 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                     s_pre = jax.lax.dot_general(
                         qh, kcb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale    # [1, T]
+                    if kv_quant:
+                        s_pre = s_pre * ksc_ref[0, b, n: n + 1, :]
                     s_pre = jnp.where(valid, s_pre, NEG)
                     knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
                     vnb = v_new[b: b + 1, n * H: (n + 1) * H]
@@ -548,8 +578,10 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                     p_pre = jnp.exp(s_pre - m_all)
                     p_cur = jnp.exp(s_cur - m_all)
                     denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                    p_v = (p_pre if not kv_quant
+                           else p_pre * vsc_ref[0, b, n: n + 1, :])
                     a = jax.lax.dot_general(
-                        p_pre, vcb, (((1,), (0,)), ((), ())),
+                        p_v, vcb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)            # [1, H]
                     head_parts.append((a + p_cur * vnb) / denom)
                 out_rows.append(jnp.concatenate(head_parts, axis=1))
@@ -573,6 +605,8 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                     s_pre = jax.lax.dot_general(
                         q_seg, kcb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale    # [G, T]
+                    if kv_quant:
+                        s_pre = s_pre * ksc_ref[0, b, n: n + 1, :]
                     s_pre = jnp.where(valid, s_pre, NEG)
                     knb = k_new[b: b + 1, n * H: (n + 1) * H]          # [1, H]
                     vnb = v_new[b: b + 1, n * H: (n + 1) * H]
@@ -581,8 +615,10 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                     p_pre = jnp.exp(s_pre - m_all)
                     p_cur = jnp.exp(s_cur - m_all)                     # [G, 1]
                     denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                    p_v = (p_pre if not kv_quant
+                           else p_pre * vsc_ref[0, b, n: n + 1, :])
                     o = jax.lax.dot_general(
-                        p_pre, vcb, (((1,), (0,)), ((), ())),
+                        p_v, vcb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)            # [G, H]
                     o = (o + p_cur * vnb) / denom
                     segs.append(jnp.concatenate(
@@ -613,6 +649,10 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                 s_pre = jax.lax.dot_general(
                     qbd, kcb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale        # [Nq, T]
+                if kv_quant:
+                    s_pre = s_pre * jnp.concatenate(
+                        [ksc_ref[0, b, h // G: h // G + 1, :] for h in range(Nq)],
+                        axis=0)                                        # [Nq, T]
                 s_pre = jnp.where(valid, s_pre, NEG)
                 kn_rows = jnp.concatenate(
                     [k_new[b: b + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
@@ -625,8 +665,11 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
                 p_pre = jnp.exp(s_pre - m_all)
                 p_cur = jnp.exp(s_cur - m_all)
                 denom = jnp.sum(p_pre, -1, keepdims=True) + p_cur
+                p_v = p_pre if not kv_quant else p_pre * jnp.concatenate(
+                    [vsc_ref[0, b, h // G: h // G + 1, :] for h in range(Nq)],
+                    axis=0)
                 o2 = jax.lax.dot_general(
-                    p_pre, vcb, (((1,), (0,)), ((), ())),
+                    p_v, vcb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)                # [Nq, NkvH]
                 o_rows = jnp.concatenate(
                     [o2[h: h + 1, (h // G) * H: (h // G + 1) * H] for h in range(Nq)],
@@ -657,12 +700,15 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
         s_c = jax.lax.dot_general(
             qbd, ckb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale            # [Ncq, S]
+        if kv_quant:
+            s_c = s_c * cks_ref[0, bc]                             # [Ncq, S]
         s_c = jnp.where(mask[b: b + 1], s_c, NEG)
         m_c = jnp.max(s_c, -1, keepdims=True)
         m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
         p_c = jnp.exp(s_c - m_c)                                   # [Ncq, S]
+        p_cv = p_c if not kv_quant else p_c * cvs_ref[0, bc]
         o2 = jax.lax.dot_general(
-            p_c, cvb, (((1,), (0,)), ((), ())),
+            p_cv, cvb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                    # [Ncq, NcqH]
         o_rows = jnp.concatenate(
             [o2[n: n + 1, n * H: (n + 1) * H] for n in range(Ncq)], axis=0)
@@ -681,12 +727,15 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
             s_c = jax.lax.dot_general(
                 qn, ckb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale    # [1, S]
+            if kv_quant:
+                s_c = s_c * cks_ref[0, bc, n: n + 1, :]
             s_c = jnp.where(mask[b: b + 1], s_c, NEG)
             m_c = jnp.max(s_c, -1, keepdims=True)
             m_c = jnp.where(m_c <= NEG * 0.5, 0.0, m_c)
             p_c = jnp.exp(s_c - m_c)                           # [1, S]
+            p_cv = p_c if not kv_quant else p_c * cvs_ref[0, bc, n: n + 1, :]
             a = jax.lax.dot_general(
-                p_c, cvb, (((1,), (0,)), ((), ())),
+                p_cv, cvb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # [1, H]
             a = a / jnp.maximum(jnp.sum(p_c, -1, keepdims=True), 1e-30)
             head_parts.append(a)
@@ -820,6 +869,10 @@ def fused_decode_step(
     skip_uncond: bool = False,
     attn_impl: str = "headloop",  # headloop | kvseg | blockdiag | vpu (see _kernel)
     valid_from: jax.Array | None = None,  # int32 [B] first valid cache slot
+    self_ks: jax.Array | None = None,   # f32 [L, B, T, Nkv] int8-cache scales
+    self_vs: jax.Array | None = None,
+    cross_ks: jax.Array | None = None,  # f32 [L, B, S, Ncq]
+    cross_vs: jax.Array | None = None,
 ):
     """Run the full decoder stack for one token.  Returns
     (x_out [B, D] f32 pre-final-norm, k_new [L, B, Nkv, H], v_new [L, B, Nkv, H]).
@@ -843,6 +896,12 @@ def fused_decode_step(
         assert pack.sm.shape[1] == 2 * mlp_tiles, (
             f"int4 pack was nibble-paired for {pack.sm.shape[1] // 2} MLP "
             f"K-tiles; kernel called with mlp_tiles={mlp_tiles}")
+    kv_quant = self_ks is not None
+    if kv_quant:
+        assert attn_impl != "vpu", (
+            "the vpu attention's [T, heads] score orientation has no "
+            "lane-major per-(token, head) scale line; use headloop/kvseg")
+        assert self_vs is not None and cross_ks is not None and cross_vs is not None
 
     # per-layer blocks; index maps keep an input's block index constant until
     # the phase that uses it, so each is fetched once per layer, and the
@@ -893,7 +952,14 @@ def fused_decode_step(
             if skip_uncond else per_layer((1, B, S, Ncq * H)),  # cross k (flat)
             pl.BlockSpec((1, B // 2, S, Ncq * H), lambda l, p, *_: (l, 1, 0, 0))
             if skip_uncond else per_layer((1, B, S, Ncq * H)),  # cross v (flat)
-        ],
+        ] + ([
+            # int8-cache scales, lane-major: ksc/vsc [L,B,Nkv,T], csc [L,B(c),Ncq,S]
+            per_layer((1, B, Nkv, T)), per_layer((1, B, Nkv, T)),
+            pl.BlockSpec((1, B // 2, Ncq, S), lambda l, p, *_: (l, 1, 0, 0))
+            if skip_uncond else per_layer((1, B, Ncq, S)),
+            pl.BlockSpec((1, B // 2, Ncq, S), lambda l, p, *_: (l, 1, 0, 0))
+            if skip_uncond else per_layer((1, B, Ncq, S)),
+        ] if kv_quant else []),
         out_specs=[
             pl.BlockSpec((B, D), lambda l, p, *_: (0, 0)),            # x_out
             pl.BlockSpec((1, B, Nkv * H), lambda l, p, *_: (l, 0, 0)),  # k_new (flat)
@@ -910,7 +976,7 @@ def fused_decode_step(
         _kernel, L=L, B=B, D=D, T=T, S=S, Nq=Nq, Nkv=Nkv, Ncq=Ncq, H=H, F=F,
         eps=eps, rope_min=rope_min, rope_max=rope_max, mlp_tiles=mlp_tiles,
         ablate=ablate, skip_uncond=skip_uncond, mlp_int4=mlp_int4,
-        attn_impl=attn_impl)
+        attn_impl=attn_impl, kv_quant=kv_quant)
 
     # SMEM scalar layout: [write_slot, pos_0..pos_{B-1}, vf_0..vf_{B-1}] —
     # positions/valid windows are per-row on the batched voice-clone path
@@ -924,23 +990,36 @@ def fused_decode_step(
         [jnp.asarray(write_slot, jnp.int32).reshape(1), pos_rows, vf_rows])
     hs = _head_sum_matrix(NqH, H)
     mask_i32 = cross_mask.astype(jnp.int32)
+    operands = [
+        scalars, x_emb, mask_i32, mask_i32.T, pack.jq, pack.jk, hs, hs.T,
+        pack.wqkv, pack.sqkv, pack.wo, pack.so,
+        pack.wcq, pack.scq, pack.wco, pack.sco,
+        pack.wg, pack.sg, pack.wu, pack.su, pack.wm, pack.sm,
+        self_k.reshape(L, B, T, Nkv * H), self_v.reshape(L, B, T, Nkv * H),
+        cross_k.reshape(L, B, S, Ncq * H), cross_v.reshape(L, B, S, Ncq * H),
+    ]
+    if kv_quant:
+        # transpose the QuantKVCache scale layout ([.., T/S, N] → [.., N, T/S])
+        # so a per-(row, head) scale line is a lane vector in the kernel
+        operands += [
+            jnp.swapaxes(self_ks, 2, 3), jnp.swapaxes(self_vs, 2, 3),
+            jnp.swapaxes(cross_ks, 2, 3), jnp.swapaxes(cross_vs, 2, 3),
+        ]
+    # under quant caches the int8 cache dtype holds codes; new rows emit f32
+    # for the caller to quantize before the cache commit
+    out_dt = jnp.float32 if kv_quant else self_k.dtype
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, Nkv * H), self_k.dtype),
-            jax.ShapeDtypeStruct((L, B, Nkv * H), self_v.dtype),
+            jax.ShapeDtypeStruct((L, B, Nkv * H), out_dt),
+            jax.ShapeDtypeStruct((L, B, Nkv * H), out_dt),
         ],
         # ~70 MB of double-buffered weight blocks + caches: v5e has 128 MiB
         # VMEM; the 16 MiB default scoped limit is for small kernels
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_os.environ.get("DIA_FUSED_VMEM_MB", "100")) * 1024 * 1024),
         interpret=interpret,
-    )(scalars, x_emb, mask_i32, mask_i32.T, pack.jq, pack.jk, hs, hs.T,
-      pack.wqkv, pack.sqkv, pack.wo, pack.so,
-      pack.wcq, pack.scq, pack.wco, pack.sco,
-      pack.wg, pack.sg, pack.wu, pack.su, pack.wm, pack.sm,
-      self_k.reshape(L, B, T, Nkv * H), self_v.reshape(L, B, T, Nkv * H),
-      cross_k.reshape(L, B, S, Ncq * H), cross_v.reshape(L, B, S, Ncq * H))
+    )(*operands)
     return (x_out, k_new.reshape(L, B, Nkv, H), v_new.reshape(L, B, Nkv, H))

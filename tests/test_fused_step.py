@@ -165,6 +165,72 @@ def test_per_row_reference_matches_per_row_calls(setup):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["headloop", "kvseg", "blockdiag"])
+def test_kernel_quant_kv_matches_reference(setup, impl):
+    """int8 KV caches + per-(token, head) scale lines through the kernel ==
+    the reference running the same dequant math (vpu is excluded: its
+    [T, heads] score orientation has no lane-major scale line)."""
+    from dia_tts_prune_tpu.models.dia import quantize_kv
+
+    config, params, pack, x_emb, args = setup
+    kq, ks = quantize_kv(args["self_k"])
+    vq, vs = quantize_kv(args["self_v"])
+    ckq, cks = quantize_kv(args["cross_k"])
+    cvq, cvs = quantize_kv(args["cross_v"])
+    a = dict(args, self_k=kq, self_v=vq, cross_k=ckq, cross_v=cvq)
+    qkw = dict(self_ks=ks, self_vs=vs, cross_ks=cks, cross_vs=cvs)
+    ref_x, ref_k, ref_v = fused_step_reference(pack, x_emb, **a, **qkw)
+    out_x, out_k, out_v = fused_decode_step(pack, x_emb, **a, **qkw,
+                                            interpret=True, attn_impl=impl)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k), rtol=2e-2, atol=2e-2)
+    # quant reference tracks the bf16 reference closely (dequant error only)
+    bx, bk, bv = fused_step_reference(pack, x_emb, **args)
+    rel = np.abs(np.asarray(ref_x) - np.asarray(bx)).max() / (
+        np.abs(np.asarray(bx)).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_kernel_quant_kv_skip_uncond_exact(setup):
+    """Quant caches + the cond-half-only cross DMA: bit-exact vs the
+    unskipped quant run under the CFG mask layout."""
+    from dia_tts_prune_tpu.models.dia import quantize_kv
+
+    config, params, pack, x_emb, args = setup
+    B, S = args["cross_mask"].shape
+    cfg_mask = args["cross_mask"].at[: B // 2].set(False)
+    kq, ks = quantize_kv(args["self_k"])
+    vq, vs = quantize_kv(args["self_v"])
+    ckq, cks = quantize_kv(args["cross_k"])
+    cvq, cvs = quantize_kv(args["cross_v"])
+    a = dict(args, self_k=kq, self_v=vq, cross_k=ckq, cross_v=cvq,
+             cross_mask=cfg_mask)
+    qkw = dict(self_ks=ks, self_vs=vs, cross_ks=cks, cross_vs=cvs)
+    base = fused_decode_step(pack, x_emb, **a, **qkw, interpret=True)
+    skip = fused_decode_step(pack, x_emb, **a, **qkw, interpret=True,
+                             skip_uncond=True)
+    for got, want in zip(skip, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_e2e_generate_fused_quant_kv_interpret(setup, monkeypatch):
+    """DIA_FUSED=1 + DIA_KV_INT8=1: the fused step rides the int8 caches
+    end-to-end through the public generator."""
+    from dia_tts_prune_tpu.generate import DiaGenerator, _kv_cache_quant
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    config, params, _, _, _ = setup
+    packed = quantize_params_int8_packed(params)
+    monkeypatch.setenv("DIA_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("DIA_FUSED", "1")
+    monkeypatch.setenv("DIA_KV_INT8", "1")
+    assert _kv_cache_quant(packed)
+    gen = DiaGenerator(packed, config, "float32")
+    out = np.asarray(gen.generate_tokens("[S1] fused quant kv.", max_tokens=24,
+                                         temperature=0.0))
+    assert out.ndim == 2 and (out >= 0).all() and (out < 1028).all()
+
+
 def test_e2e_generate_fused_batched_interpret(setup, monkeypatch):
     """The batched generate loop routes through decode_step_fused and each
     stream's greedy tokens equal its single-stream fused run (same
