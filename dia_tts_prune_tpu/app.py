@@ -299,7 +299,9 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
 
 def serve_http(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
     server = make_server(dia, host, port, batcher=batcher)
-    mode = "dynamic-batched" if batcher is not None else "serial"
+    mode = ("serial" if batcher is None else
+            "continuous-batched" if type(batcher).__name__ == "ContinuousBatcher"
+            else "dynamic-batched")
     print(f"Serving Dia TTS API on http://{host}:{server.server_address[1]} "
           f"(POST /generate, {mode})")
     server.serve_forever()
@@ -361,6 +363,17 @@ def main(argv=None) -> int:
                         help="max coalesced requests per decode loop")
     parser.add_argument("--batch-wait-ms", type=float, default=50.0,
                         help="max extra latency spent waiting for companions")
+    parser.add_argument("--continuous-batch", action="store_true",
+                        help="slot-based continuous batching: requests join a "
+                             "running batched decode at segment boundaries — "
+                             "no wait-for-the-whole-batch latency (implies "
+                             "the stdlib HTTP API; see cbatch.py)")
+    parser.add_argument("--cb-slots", type=int, default=4,
+                        help="resident decode lanes for --continuous-batch")
+    parser.add_argument("--cb-segment-steps", type=int, default=64,
+                        help="decode steps between admission opportunities")
+    parser.add_argument("--cb-max-tokens", type=int, default=1024,
+                        help="per-request token cap (sets the static cache)")
     args = parser.parse_args(argv)
 
     from .api import Dia
@@ -371,7 +384,13 @@ def main(argv=None) -> int:
         dia.quantize_int8()
 
     batcher = None
-    if args.dynamic_batch:
+    if args.continuous_batch:
+        from .cbatch import ContinuousBatcher
+
+        batcher = ContinuousBatcher(dia, n_slots=args.cb_slots,
+                                    segment_steps=args.cb_segment_steps,
+                                    max_tokens=args.cb_max_tokens)
+    elif args.dynamic_batch:
         from .serving import DynamicBatcher
 
         batcher = DynamicBatcher(dia, max_batch=args.max_batch,

@@ -567,7 +567,7 @@ def decode_step_scan(
     config: DiaConfig,
     tgt_Bx1xC: jax.Array,  # [B, 1, C]
     position: jax.Array,  # [B, 1]
-    write_slot: jax.Array,  # scalar int32
+    write_slot: jax.Array,  # int32 scalar (shared) or [B] (per-row slots)
     self_cache: KVCache,
     cross_cache: KVCache,
     cross_attn_mask: jax.Array | None,
@@ -577,6 +577,12 @@ def decode_step_scan(
     skip_uncond_cross: bool = False,  # see decode_step — exact CFG-half skip
 ) -> tuple[jax.Array, KVCache]:
     """``decode_step`` with layers scanned instead of unrolled.
+
+    ``write_slot`` may be a per-row [B] vector (continuous batching: each
+    slot lives on its own local timeline): row b attends cache slots
+    ``< write_slot[b]`` and commits its new K/V at ``write_slot[b]`` (a
+    vmapped per-row dynamic_update_slice; the update is one [L, 1, Nkv, H]
+    row so the scatter it lowers to is tiny).
 
     One layer trace instead of L → ~L× faster compiles and a much smaller
     executable.  The KV cache stays OUT of the scan carry (a scan output of
@@ -619,7 +625,10 @@ def decode_step_scan(
     x = _embed_channels(params, tgt_Bx1xC, compute_dtype)  # [B, 1, D]
 
     slot_ids = jnp.arange(Tmax, dtype=jnp.int32)
-    prefix_mask = (slot_ids < write_slot)[None, None, None, :]  # [1,1,1,Tmax]
+    if write_slot.ndim == 1:  # per-row timelines (continuous batching)
+        prefix_mask = (slot_ids[None, :] < write_slot[:, None])[:, None, None, :]
+    else:
+        prefix_mask = (slot_ids < write_slot)[None, None, None, :]  # [1,1,1,Tmax]
     if valid_from is not None:
         prefix_mask = prefix_mask & (
             slot_ids[None, :] >= valid_from[:, None]
@@ -708,19 +717,29 @@ def decode_step_scan(
         xs_in += (crks, crvs)
     x, (ks, vs) = jax.lax.scan(layer_fn, x, xs_in)
     w = write_slot.astype(jnp.int32)
+    if w.ndim == 1:
+        # per-row commit slots: vmap the update over the batch axis (row b's
+        # [L, 1, ...] slice lands at its own slot w[b])
+        def _commit(buf, upd):
+            return jax.vmap(
+                lambda c, u, wi: jax.lax.dynamic_update_slice(
+                    c, u, (0, wi) + (0,) * (c.ndim - 2)),
+                in_axes=(1, 1, 0), out_axes=1,
+            )(buf, upd, w)
+    else:
+        def _commit(buf, upd):
+            return jax.lax.dynamic_update_slice(
+                buf, upd, (0, 0, w) + (0,) * (buf.ndim - 3))
     if quant:
         kq, kss = quantize_kv(ks)  # [L,B,1,N,H] → int8 + [L,B,1,N]
         vq, vss = quantize_kv(vs)
         new_cache = QuantKVCache(
-            k=jax.lax.dynamic_update_slice(self_cache.k, kq, (0, 0, w, 0, 0)),
-            v=jax.lax.dynamic_update_slice(self_cache.v, vq, (0, 0, w, 0, 0)),
-            ks=jax.lax.dynamic_update_slice(self_cache.ks, kss, (0, 0, w, 0)),
-            vs=jax.lax.dynamic_update_slice(self_cache.vs, vss, (0, 0, w, 0)),
+            k=_commit(self_cache.k, kq), v=_commit(self_cache.v, vq),
+            ks=_commit(self_cache.ks, kss), vs=_commit(self_cache.vs, vss),
         )
     else:
         new_cache = KVCache(
-            k=jax.lax.dynamic_update_slice(self_cache.k, ks, (0, 0, w, 0, 0)),
-            v=jax.lax.dynamic_update_slice(self_cache.v, vs, (0, 0, w, 0, 0)),
+            k=_commit(self_cache.k, ks), v=_commit(self_cache.v, vs),
         )
     x = rms_norm(x, params["decoder"]["norm"]["scale"], eps)
     logits = dense_general(x, params["decoder"]["logits_dense"]["kernel"]).astype(jnp.float32)

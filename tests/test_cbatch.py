@@ -1,0 +1,217 @@
+"""Continuous batching (cbatch.py): lane-exact parity with single-stream
+runs under staggered admissions, voice-clone prompts, the int8 KV cache,
+queue overflow, and error delivery.
+
+The core claim under test: a lane reproduces its single-stream run
+bit-for-bit regardless of admission order, lane assignment, or what the
+other lanes are doing — the reproducibility property the reference's
+sequential queue gets trivially (/root/reference/app.py:221-244)."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from dia_tts_prune_tpu.config import tiny_test_config
+from dia_tts_prune_tpu.cbatch import ContinuousBatcher
+from dia_tts_prune_tpu.generate import DiaGenerator
+from dia_tts_prune_tpu.models.dia import init_params
+
+MT = 48
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    class _Dia:  # the slice of api.Dia the batcher consumes
+        pass
+
+    dia = _Dia()
+    dia.config = cfg
+    dia.params = params
+    dia.compute_dtype = "float32"
+    dia.generator = DiaGenerator(params, cfg)
+    return dia
+
+
+@pytest.fixture(autouse=True)
+def _scan_step(monkeypatch):
+    # cb_segment always decodes via decode_step_scan; pin the single-stream
+    # reference runs to the same step function for bit-exact comparison
+    monkeypatch.setenv("DIA_DECODE_IMPL", "scan")
+
+
+def test_staggered_admission_matches_single_stream(tiny):
+    """2 lanes, 4 requests (greedy + sampled mixed), late arrivals swap in
+    mid-flight — every request equals its single-stream run."""
+    gen = tiny.generator
+    texts = ["[S1] Hello there.", "[S2] A second request.",
+             "[S1] Third arrives late.", "[S1] Fourth, later still."]
+    seeds = [11, 22, 33, 44]
+    temps = [0.0, 1.1, 0.0, 1.1]
+    refs = [gen.generate_tokens(t, max_tokens=MT, temperature=tp, top_p=0.9,
+                                seed=s, cache_len=MT)
+            for t, s, tp in zip(texts, seeds, temps)]
+
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        futs = [cb.submit(texts[0], temperature=temps[0], top_p=0.9, seed=seeds[0]),
+                cb.submit(texts[1], temperature=temps[1], top_p=0.9, seed=seeds[1])]
+        time.sleep(0.3)  # let the first pair start decoding
+        futs += [cb.submit(texts[2], temperature=temps[2], top_p=0.9, seed=seeds[2]),
+                 cb.submit(texts[3], temperature=temps[3], top_p=0.9, seed=seeds[3])]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        cb.shutdown()
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        np.testing.assert_array_equal(o, r, err_msg=f"request {i}")
+    assert cb.stats["completed"] == 4
+    assert cb.stats["max_live"] == 2
+
+
+def test_admission_order_does_not_change_tokens(tiny):
+    """The same seeded request returns identical tokens whether it is
+    admitted first into an empty batch or last into a busy one."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        first = cb.submit("[S1] order probe", temperature=1.2, seed=9).result(600)
+        fillers = [cb.submit(f"[S2] filler {i}", temperature=1.0, seed=i)
+                   for i in range(3)]
+        last = cb.submit("[S1] order probe", temperature=1.2, seed=9).result(600)
+        for f in fillers:
+            f.result(600)
+    finally:
+        cb.shutdown()
+    np.testing.assert_array_equal(first, last)
+
+
+def test_voice_clone_lane_matches_single_stream(tiny):
+    """A prompted (voice-clone) request rides prepare_stream prefill into its
+    lane and equals the single-stream prompted run."""
+    gen = tiny.generator
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 1024, (12, 9)).astype(np.int32)
+    ref = gen.generate_tokens(
+        "[S2] continue the voice", max_tokens=MT, temperature=0.0, seed=1,
+        audio_prompt_codes=prompt, audio_prompt_text="[S1] twelve frames",
+        cache_len=MT)
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
+                           text_window=128)
+    try:
+        out = cb.submit("[S2] continue the voice", temperature=0.0, seed=1,
+                        audio_prompt_codes=prompt,
+                        audio_prompt_text="[S1] twelve frames").result(600)
+    finally:
+        cb.shutdown()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_more_requests_than_slots_all_complete(tiny):
+    """Queue overflow: 6 requests through 2 lanes all complete and match
+    their single-stream runs (drain correctness, not just liveness)."""
+    gen = tiny.generator
+    texts = [f"[S1] request number {i}." for i in range(6)]
+    refs = [gen.generate_tokens(t, max_tokens=MT, temperature=0.0, seed=i,
+                                cache_len=MT)
+            for i, t in enumerate(texts)]
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
+                           text_window=128)
+    try:
+        futs = [cb.submit(t, temperature=0.0, seed=i)
+                for i, t in enumerate(texts)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        cb.shutdown()
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        np.testing.assert_array_equal(o, r, err_msg=f"request {i}")
+    assert cb.stats["completed"] == 6
+
+
+def test_kv_int8_lanes_match_single_stream(tiny, monkeypatch):
+    """Packed-int8 weights + int8 KV caches through the continuous batch:
+    lanes still equal their single-stream runs (same quant config)."""
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+    monkeypatch.setenv("DIA_KV_INT8", "1")
+    monkeypatch.delenv("DIA_DECODE_IMPL", raising=False)  # packed → scan anyway
+
+    class _Dia:
+        pass
+
+    q = _Dia()
+    q.config = tiny.config
+    q.params = quantize_params_int8_packed(tiny.params)
+    q.compute_dtype = "float32"
+    gen = DiaGenerator(q.params, q.config)
+    refs = [gen.generate_tokens("[S1] quant lane", max_tokens=MT,
+                                temperature=0.0, seed=3, cache_len=MT),
+            gen.generate_tokens("[S2] other quant lane", max_tokens=MT,
+                                temperature=1.2, seed=4, cache_len=MT)]
+    cb = ContinuousBatcher(q, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        assert cb._quant, "int8 KV cache should be active under DIA_KV_INT8=1"
+        outs = [cb.submit("[S1] quant lane", temperature=0.0, seed=3).result(600),
+                cb.submit("[S2] other quant lane", temperature=1.2,
+                          seed=4).result(600)]
+    finally:
+        cb.shutdown()
+    np.testing.assert_array_equal(outs[0], refs[0])
+    np.testing.assert_array_equal(outs[1], refs[1])
+
+
+def test_bad_request_delivers_exception_and_keeps_serving(tiny):
+    """A request that fails at admission resolves ITS future with the error;
+    the batcher keeps serving the rest."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
+                           text_window=128)
+    try:
+        with pytest.raises(ValueError):
+            cb.submit("[S1] x", audio_prompt_codes=np.zeros((4, 9), np.int32))
+        ok = cb.submit("[S1] still serving", temperature=0.0, seed=0).result(600)
+        assert ok.shape[0] > 0
+    finally:
+        cb.shutdown()
+
+
+def test_generate_facade_waveform_matches_solo(tiny):
+    """The blocking ``generate()`` facade (DynamicBatcher drop-in) produces
+    the same waveform as ``Dia.generate`` end-to-end through the codec."""
+    from dia_tts_prune_tpu import Dia
+    from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
+
+    dia = Dia.random_init(tiny.config, seed=0)
+    dia.params = tiny.params  # share the module fixture's weights
+    dia.generator = DiaGenerator(dia.params, dia.config)
+    dia.dac_config = DACConfig(encoder_dim=8, encoder_rates=(2, 4),
+                               decoder_dim=32, decoder_rates=(4, 2),
+                               n_codebooks=9, codebook_size=1024, codebook_dim=4)
+    dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))
+    dia.compute_dtype = "float32"
+    solo = dia.generate("[S1] end to end", max_tokens=MT, temperature=0.0, seed=2)
+    cb = ContinuousBatcher(dia, n_slots=2, segment_steps=16, max_tokens=MT,
+                           text_window=128)
+    try:
+        wav = cb.generate("[S1] end to end", max_tokens=MT, temperature=0.0,
+                          seed=2)
+        with pytest.raises(ValueError):
+            cb.generate("[S1] x", cfg_filter_top_k=10)  # compile-time constant
+    finally:
+        cb.shutdown()
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(solo))
+
+
+def test_shutdown_drains_queue(tiny):
+    """shutdown(wait=True) finishes queued work before returning."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
+                           text_window=128)
+    futs = [cb.submit(f"[S1] drain {i}", temperature=0.0, seed=i)
+            for i in range(3)]
+    cb.shutdown(wait=True)
+    for f in futs:
+        assert f.result(timeout=1).shape[1] == 9
