@@ -206,6 +206,65 @@ def test_generate_facade_waveform_matches_solo(tiny):
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(solo))
 
 
+def test_http_server_with_continuous_batching(tiny):
+    """Two concurrent POSTs through the real HTTP server ride resident lanes
+    of one ContinuousBatcher (the `app.py --continuous-batch` wiring)."""
+    import http.client
+    import json
+    import threading as th
+
+    from dia_tts_prune_tpu import Dia
+    from dia_tts_prune_tpu.app import make_server
+    from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
+
+    dia = Dia.random_init(tiny.config, seed=0)
+    dia.params = tiny.params
+    dia.generator = DiaGenerator(dia.params, dia.config)
+    dia.dac_config = DACConfig(encoder_dim=8, encoder_rates=(2, 4),
+                               decoder_dim=32, decoder_rates=(4, 2),
+                               n_codebooks=9, codebook_size=1024, codebook_dim=4)
+    dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))
+    dia.compute_dtype = "float32"
+    batcher = ContinuousBatcher(dia, n_slots=2, segment_steps=16,
+                                max_tokens=MT, text_window=128)
+    server = make_server(dia, host="127.0.0.1", port=0, batcher=batcher)
+    port = server.server_address[1]
+    t = th.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        bodies: dict[int, bytes] = {}
+        barrier = th.Barrier(2)
+
+        def post(i):
+            barrier.wait()
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            payload = json.dumps({"text": f"[S1] Lane {i}.", "max_new_tokens": MT,
+                                  "temperature": 0.0, "seed": i}).encode()
+            conn.request("POST", "/generate", body=payload,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()[:200]
+            bodies[i] = resp.read()
+            conn.close()
+
+        threads = [th.Thread(target=post, args=(i,)) for i in range(2)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=600)
+        assert len(bodies) == 2
+        assert all(b[:4] == b"RIFF" for b in bodies.values())
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        conn.close()
+        assert stats["requests"] >= 2 and stats["completed"] >= 2
+    finally:
+        server.shutdown()
+        batcher.shutdown()
+
+
 def test_shutdown_drains_queue(tiny):
     """shutdown(wait=True) finishes queued work before returning."""
     cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
