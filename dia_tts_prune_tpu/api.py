@@ -53,6 +53,46 @@ def load_dac_config(spec) -> "DACConfig | None":
     return DACConfig(**data)
 
 
+def stream_decode_wav(
+    dac_params,
+    dac_config,
+    code_chunks,
+    overlap_frames: int = 32,
+    lookahead_frames: int = 32,
+):
+    """Incrementally decode an iterator of undelayed code chunks to audio.
+
+    Each emitted span is decoded with ``overlap_frames`` of left context
+    (conv warm-up, trimmed) and holds back ``lookahead_frames`` of right
+    context, so every sample has the DAC decoder's full receptive field on
+    both sides (≈20 frames for the 44.1 kHz architecture) — the concatenated
+    stream is sample-exact against the offline decode.  Shared by
+    ``Dia.generate_stream`` (single stream) and
+    ``ContinuousBatcher.generate_stream`` (a lane of the resident batch).
+    """
+    hop = dac_config.hop_length
+    codes_all = np.zeros((0, dac_config.n_codebooks), np.int32)
+    emitted_f = 0  # frames already emitted as audio
+
+    def decode_span(start: int, end: int) -> np.ndarray:
+        ctx_start = max(0, start - overlap_frames)
+        ctx_end = min(codes_all.shape[0], end + lookahead_frames)
+        ctx = codes_all[ctx_start:ctx_end]
+        wav = np.asarray(
+            decode_codes(dac_params, dac_config, jnp.asarray(ctx)[None])[0]
+        )
+        return wav[(start - ctx_start) * hop : (end - ctx_start) * hop]
+
+    for new_codes in code_chunks:
+        codes_all = np.concatenate([codes_all, new_codes], axis=0)
+        emit_until = codes_all.shape[0] - lookahead_frames
+        if emit_until > emitted_f:
+            yield decode_span(emitted_f, emit_until).astype(np.float32)
+            emitted_f = emit_until
+    if codes_all.shape[0] > emitted_f:
+        yield decode_span(emitted_f, codes_all.shape[0]).astype(np.float32)
+
+
 def _dtype_of(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
@@ -299,32 +339,11 @@ class Dia:
             kwargs["audio_prompt_codes"] = self.load_audio(audio_prompt)
         elif audio_prompt is not None:
             kwargs["audio_prompt_codes"] = np.asarray(audio_prompt)
-        hop = self.dac_config.hop_length
-        codes_all = np.zeros((0, self.dac_config.n_codebooks), np.int32)
-        emitted_f = 0  # frames already emitted as audio
-
-        def decode_span(start: int, end: int) -> np.ndarray:
-            # decode with left warm-up context AND right lookahead context,
-            # then trim both — every emitted sample keeps its full receptive
-            # field and matches the offline decode exactly
-            ctx_start = max(0, start - overlap_frames)
-            ctx_end = min(codes_all.shape[0], end + lookahead_frames)
-            ctx = codes_all[ctx_start:ctx_end]
-            wav = np.asarray(
-                decode_codes(self.dac_params, self.dac_config, jnp.asarray(ctx)[None])[0]
-            )
-            return wav[(start - ctx_start) * hop : (end - ctx_start) * hop]
-
-        for new_codes in self.generator.generate_tokens_stream(
-            text, segment_steps=segment_steps, **kwargs
-        ):
-            codes_all = np.concatenate([codes_all, new_codes], axis=0)
-            emit_until = codes_all.shape[0] - lookahead_frames
-            if emit_until > emitted_f:
-                yield decode_span(emitted_f, emit_until).astype(np.float32)
-                emitted_f = emit_until
-        if codes_all.shape[0] > emitted_f:
-            yield decode_span(emitted_f, codes_all.shape[0]).astype(np.float32)
+        yield from stream_decode_wav(
+            self.dac_params, self.dac_config,
+            self.generator.generate_tokens_stream(
+                text, segment_steps=segment_steps, **kwargs),
+            overlap_frames=overlap_frames, lookahead_frames=lookahead_frames)
 
     def generate_batch(
         self,

@@ -35,9 +35,11 @@ recompiles; the host harvests them at segment boundaries and refills.
 
 from __future__ import annotations
 
+import queue
 import threading
 from collections import deque
 from concurrent.futures import Future
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 
@@ -316,10 +318,13 @@ def cb_segment(
     return final
 
 
-class _Lane(NamedTuple):
+@dataclass
+class _Lane:
     future: Future
     prefill_step: int
     text: str
+    stream_q: queue.Queue | None = None  # set for submit_stream lanes
+    emitted: int = 0  # finalized frames already streamed out
 
 
 class ContinuousBatcher:
@@ -371,6 +376,7 @@ class ContinuousBatcher:
         max_tokens: int | None = None,
         audio_prompt_codes: np.ndarray | None = None,
         audio_prompt_text: str | None = None,
+        _stream_q: queue.Queue | None = None,
     ) -> Future:
         """Queue one request; resolves to undelayed codes [T, C] (int32).
 
@@ -388,13 +394,63 @@ class ContinuousBatcher:
             top_p=float(top_p), seed=_resolve_seed(seed),
             max_tokens=min(int(max_tokens or self.max_tokens), self.max_tokens),
             audio_prompt_codes=audio_prompt_codes,
-            audio_prompt_text=audio_prompt_text, future=fut,
+            audio_prompt_text=audio_prompt_text, future=fut, stream_q=_stream_q,
         )
         with self._cond:
             self._q.append(req)
             self.stats["requests"] += 1
             self._cond.notify_all()
         return fut
+
+    def submit_stream(self, text: str, **kwargs):
+        """Stream one request's undelayed code chunks while it shares the
+        device with the other lanes — a chunk of newly finalized frames
+        arrives every ``segment_steps`` decode steps.  The concatenation of
+        all chunks is bit-identical to ``submit(...).result()`` for the same
+        arguments (same lane semantics, same finalization rule as
+        ``DiaGenerator.generate_tokens_stream``)."""
+        q: queue.Queue = queue.Queue()
+        fut = self.submit(text, _stream_q=q, **kwargs)
+
+        def _chunks():
+            while True:
+                item = q.get()
+                if item is None:
+                    if fut.done() and fut.exception() is not None:
+                        raise fut.exception()
+                    return
+                yield item
+
+        return _chunks()
+
+    def generate_stream(
+        self,
+        text: str,
+        overlap_frames: int = 32,
+        lookahead_frames: int = 32,
+        audio_prompt=None,
+        audio_prompt_text: str | None = None,
+        **kwargs,
+    ):
+        """Stream audio chunks for one request of the resident batch —
+        ``Dia.generate_stream`` semantics (incremental DAC decode with full
+        receptive-field context; sample-exact vs the offline decode) on top
+        of ``submit_stream``.  Lanes join/leave underneath; this lane's audio
+        is unaffected."""
+        from .api import stream_decode_wav
+
+        prompt_codes = None
+        if audio_prompt is not None:
+            if isinstance(audio_prompt, (str, bytes)):
+                prompt_codes = self._dia.load_audio(audio_prompt)
+            else:
+                prompt_codes = np.asarray(audio_prompt)
+        chunks = self.submit_stream(
+            text, audio_prompt_codes=prompt_codes,
+            audio_prompt_text=audio_prompt_text, **kwargs)
+        yield from stream_decode_wav(
+            self._dia.dac_params, self._dia.dac_config, chunks,
+            overlap_frames=overlap_frames, lookahead_frames=lookahead_frames)
 
     def generate(
         self,
@@ -472,7 +528,43 @@ class ContinuousBatcher:
             jnp.asarray(req["temperature"] == 0.0),
             max_delay=d.max_delay,
         )
-        self._lanes[slot] = _Lane(req["future"], int(prefill_step), req["text"])
+        self._lanes[slot] = _Lane(req["future"], int(prefill_step), req["text"],
+                                  stream_q=req.get("stream_q"))
+
+    def _revert_prefix(self, raw: np.ndarray, n_final: int) -> np.ndarray:
+        """Undelay ``raw`` rows and return the first ``n_final`` output frames
+        (a frame is final once all raw rows it gathers from exist, i.e. the
+        trailing ``max_delay`` rows stay pending — generate_tokens_stream's
+        rule, so stream chunks concatenate to exactly the submit() result)."""
+        d = self._dia.config.data
+        reverted = revert_audio_delay_np(
+            raw[None], d.audio_pad_value, tuple(d.delay_pattern),
+            raw.shape[0])[0][: max(0, n_final)]
+        return np.where((reverted < 0) | (reverted > 1023), 0, reverted)
+
+    def _emit_streams(self) -> None:
+        """Push newly finalized frames to live streaming lanes (stopped lanes
+        flush their tail in ``_harvest``)."""
+        live = [(i, lane) for i, lane in enumerate(self._lanes)
+                if lane is not None and lane.stream_q is not None]
+        if not live:
+            return
+        stop = np.asarray(self._state.stop)
+        dec_step = np.asarray(self._state.dec_step)
+        tokens = None
+        d = self._dia.config.data
+        for i, lane in live:
+            if bool(stop[i]):
+                continue
+            if tokens is None:
+                tokens = np.asarray(self._state.tokens)  # one transfer
+            raw = tokens[i, lane.prefill_step: int(dec_step[i]) + 1]
+            n_final = raw.shape[0] - d.max_delay
+            if n_final <= lane.emitted:
+                continue
+            chunk = self._revert_prefix(raw, n_final)[lane.emitted:]
+            lane.stream_q.put(chunk.astype(np.int32))
+            lane.emitted = n_final
 
     def _harvest(self) -> None:
         """Resolve futures for lanes that stopped during the last segment."""
@@ -490,14 +582,15 @@ class ContinuousBatcher:
             self.stats["completed"] += 1
             generated = tokens[i, lane.prefill_step: int(dec_step[i]) + 1]
             if generated.shape[0] == 0:
-                lane.future.set_result(np.zeros((0, d.channels), np.int32))
-                continue
-            reverted = revert_audio_delay_np(
-                generated[None], d.audio_pad_value, tuple(d.delay_pattern),
-                generated.shape[0])[0]
-            reverted = reverted[: max(0, reverted.shape[0] - d.max_delay)]
-            reverted = np.where((reverted < 0) | (reverted > 1023), 0, reverted)
-            lane.future.set_result(reverted.astype(np.int32))
+                codes = np.zeros((0, d.channels), np.int32)
+            else:
+                codes = self._revert_prefix(
+                    generated, generated.shape[0] - d.max_delay).astype(np.int32)
+            if lane.stream_q is not None:
+                if codes.shape[0] > lane.emitted:
+                    lane.stream_q.put(codes[lane.emitted:])
+                lane.stream_q.put(None)  # close the chunk iterator
+            lane.future.set_result(codes)
 
     def _run(self) -> None:
         cfg = self._dia.config
@@ -519,6 +612,8 @@ class ContinuousBatcher:
                     self._admit(slot, req)
                 except Exception as e:  # noqa: BLE001 — deliver, don't die
                     req["future"].set_exception(e)
+                    if req.get("stream_q") is not None:
+                        req["stream_q"].put(None)
             live = sum(lane is not None for lane in self._lanes)
             self.stats["max_live"] = max(self.stats["max_live"], live)
             if live == 0:
@@ -527,4 +622,5 @@ class ContinuousBatcher:
                 self._dia.params, cfg, self._state, self._cross, self._mask,
                 seg, self.cfg_filter_top_k, self._dia.compute_dtype)
             self.stats["segments"] += 1
+            self._emit_streams()
             self._harvest()

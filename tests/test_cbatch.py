@@ -206,6 +206,79 @@ def test_generate_facade_waveform_matches_solo(tiny):
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(solo))
 
 
+def test_stream_chunks_concatenate_to_submit_result(tiny):
+    """A streaming lane's chunks concatenate bit-for-bit to the submit()
+    codes, with other lanes decoding underneath, and chunks arrive
+    incrementally (more than one)."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        solo = cb.submit("[S1] streaming lane", temperature=0.0, seed=7).result(300)
+        chunks_iter = cb.submit_stream("[S1] streaming lane", temperature=0.0,
+                                       seed=7)
+        # companion request keeps the other lane busy while we stream
+        companion = cb.submit("[S1] companion noise lane", temperature=1.1,
+                              seed=9)
+        chunks = list(chunks_iter)
+        companion.result(300)
+    finally:
+        cb.shutdown()
+    assert len(chunks) > 1, "expected incremental chunks, got one blob"
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), solo)
+
+
+def test_stream_error_delivery(tiny):
+    """A bad streaming request raises from the chunk iterator, not a hang."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        # fails at submit time (missing audio_prompt_text): raises directly
+        with pytest.raises(ValueError):
+            cb.submit_stream("[S1] bad", temperature=0.0,
+                             audio_prompt_codes=np.zeros((8, 9), np.int32))
+        # fails at admission time (channel-count mismatch in prefill): the
+        # exception must surface from the chunk iterator, not hang the lane
+        it = cb.submit_stream("[S1] bad", temperature=0.0,
+                              audio_prompt_codes=np.zeros((8, 5), np.int32),
+                              audio_prompt_text="[S1] prompt")
+        with pytest.raises(Exception):
+            list(it)
+        # the batcher keeps serving after the failed admission
+        ok = cb.submit("[S1] still alive", temperature=0.0, seed=1).result(300)
+        assert ok.shape[1] == 9
+    finally:
+        cb.shutdown()
+
+
+def test_generate_stream_facade_matches_offline_decode(tiny):
+    """ContinuousBatcher.generate_stream audio == the offline waveform of the
+    same request (sample-exact incremental DAC decode), while another lane
+    runs."""
+    from dia_tts_prune_tpu import Dia
+    from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
+
+    dia = Dia.random_init(tiny.config, seed=0)
+    dia.params = tiny.params
+    dia.generator = DiaGenerator(dia.params, dia.config)
+    dia.dac_config = DACConfig(encoder_dim=8, encoder_rates=(2, 4),
+                               decoder_dim=32, decoder_rates=(4, 2),
+                               n_codebooks=9, codebook_size=1024, codebook_dim=4)
+    dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))
+    dia.compute_dtype = "float32"
+    cb = ContinuousBatcher(dia, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+    try:
+        offline = cb.generate("[S1] stream me", max_tokens=MT,
+                              temperature=0.0, seed=3)
+        companion = cb.submit("[S1] other lane", temperature=0.0, seed=4)
+        wav_chunks = list(cb.generate_stream("[S1] stream me", temperature=0.0,
+                                             seed=3, max_tokens=MT))
+        companion.result(300)
+    finally:
+        cb.shutdown()
+    np.testing.assert_array_equal(np.concatenate(wav_chunks), np.asarray(offline))
+
+
 def test_http_server_with_continuous_batching(tiny):
     """Two concurrent POSTs through the real HTTP server ride resident lanes
     of one ContinuousBatcher (the `app.py --continuous-batch` wiring)."""
