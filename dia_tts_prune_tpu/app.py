@@ -200,8 +200,19 @@ def _wav_bytes(sr: int, pcm16: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _wav_stream_header(sr: int) -> bytes:
+    """A 44-byte PCM WAV header with unknown (0xFFFFFFFF) lengths — players
+    and ffmpeg treat it as a live stream and read until the socket closes."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 def make_server(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
-    """Build the minimal JSON→WAV server: POST /generate, GET /health|/stats.
+    """Build the minimal JSON→WAV server: POST /generate|/stream, GET
+    /health|/stats.
 
     With ``batcher`` (serving.DynamicBatcher), single-chunk requests from
     concurrent clients are coalesced into one batched decode loop — the
@@ -228,7 +239,62 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_json_error(self, code: int, msg: str):
+            body = json.dumps({"error": msg}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _do_stream(self):
+            """POST /stream — live WAV: header + PCM chunks as generated.
+
+            No Content-Length (HTTP/1.0 read-until-close), so `curl ... |
+            ffplay -` starts playing at the first chunk.  The first chunk is
+            pulled BEFORE the 200 commits, so invalid requests still get a
+            JSON error status."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                kwargs = dict(
+                    max_tokens=int(req.get("max_new_tokens", 1024)),
+                    cfg_scale=float(req.get("cfg_scale", 3.0)),
+                    temperature=float(req.get("temperature", 1.3)),
+                    top_p=float(req.get("top_p", 0.95)),
+                    seed=req.get("seed"),
+                    audio_prompt=req.get("audio_prompt"),
+                    audio_prompt_text=req.get("audio_prompt_text"),
+                )
+                if batcher is not None:
+                    if not hasattr(batcher, "generate_stream"):
+                        raise ValueError(
+                            "streaming needs --continuous-batch (or no batcher); "
+                            "--dynamic-batch groups cannot stream per-request")
+                    chunks = batcher.generate_stream(req.get("text", ""), **kwargs)
+                else:
+                    chunks = dia.generate_stream(req.get("text", ""), **kwargs)
+                first = next(chunks, None)
+            except ValueError as e:
+                self._send_json_error(400, str(e))
+                return
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                self._send_json_error(500, f"{type(e).__name__}: {e}")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.end_headers()
+            self.wfile.write(_wav_stream_header(SAMPLE_RATE))
+            if first is not None:
+                for chunk in itertools.chain([first], chunks):
+                    pcm = (np.clip(chunk, -1, 1) * 32767).astype(np.int16)
+                    self.wfile.write(pcm.tobytes())
+                    self.wfile.flush()
+
         def do_POST(self):
+            if self.path == "/stream":
+                self._do_stream()
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return

@@ -338,6 +338,60 @@ def test_http_server_with_continuous_batching(tiny):
         batcher.shutdown()
 
 
+def test_http_stream_endpoint_matches_offline(tiny):
+    """POST /stream returns a live WAV whose PCM equals the offline result."""
+    import http.client
+    import json
+    import threading as th
+
+    from dia_tts_prune_tpu import Dia
+    from dia_tts_prune_tpu.app import make_server
+    from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
+
+    dia = Dia.random_init(tiny.config, seed=0)
+    dia.params = tiny.params
+    dia.generator = DiaGenerator(dia.params, dia.config)
+    dia.dac_config = DACConfig(encoder_dim=8, encoder_rates=(2, 4),
+                               decoder_dim=32, decoder_rates=(4, 2),
+                               n_codebooks=9, codebook_size=1024, codebook_dim=4)
+    dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))
+    dia.compute_dtype = "float32"
+    batcher = ContinuousBatcher(dia, n_slots=2, segment_steps=16,
+                                max_tokens=MT, text_window=128)
+    server = make_server(dia, host="127.0.0.1", port=0, batcher=batcher)
+    port = server.server_address[1]
+    th.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        offline = batcher.generate("[S1] live stream", max_tokens=MT,
+                                   temperature=0.0, seed=5)
+        expected = (np.clip(offline, -1, 1) * 32767).astype(np.int16)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        payload = json.dumps({"text": "[S1] live stream", "max_new_tokens": MT,
+                              "temperature": 0.0, "seed": 5}).encode()
+        conn.request("POST", "/stream", body=payload,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read()  # read-until-close (no Content-Length)
+        conn.close()
+        assert body[:4] == b"RIFF" and len(body) > 44
+        pcm = np.frombuffer(body[44:], np.int16)
+        np.testing.assert_array_equal(pcm, expected)
+
+        # invalid request still gets a JSON error status, not a broken stream
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/stream", body=json.dumps(
+            {"text": "[S1] x", "audio_prompt_text": None,
+             "audio_prompt": "/nonexistent.wav"}).encode())
+        resp = conn.getresponse()
+        assert resp.status in (400, 500)
+        conn.close()
+    finally:
+        server.shutdown()
+        batcher.shutdown()
+
+
 def test_shutdown_drains_queue(tiny):
     """shutdown(wait=True) finishes queued work before returning."""
     cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
