@@ -58,6 +58,7 @@ from .generate import (
 )
 from .models.dia import KVCache, QuantKVCache, decode_step_scan, new_self_cache
 from .ops.delay import revert_audio_delay_np
+from .parallel.sharding import constrain, cross_cache_spec, self_cache_spec
 from .ops.sampling import (
     apply_constraints,
     sample_next_token_traced as _traced_sample,
@@ -131,6 +132,21 @@ def cb_init(
     return state, cross, cross_mask
 
 
+def _constrain_cache(cache, spec_fn):
+    """Pin a KV cache's shards to the TP head axis (`parallel.sharding`
+    specs); identity without an active mesh.  Applied inside the jitted
+    segment so the cache stays distributed through the while-loop carry —
+    the same contract `generate_fused` keeps (generate.py)."""
+    from jax.sharding import PartitionSpec as _P
+
+    spec = spec_fn()
+    if isinstance(cache, QuantKVCache):
+        sspec = _P(*spec[:-1])  # scales: same layout minus H
+        return QuantKVCache(k=constrain(cache.k, spec), v=constrain(cache.v, spec),
+                            ks=constrain(cache.ks, sspec), vs=constrain(cache.vs, sspec))
+    return KVCache(k=constrain(cache.k, spec), v=constrain(cache.v, spec))
+
+
 @partial(jax.jit, donate_argnames=("state", "cross_cache", "cross_mask"))
 def swap_in(
     state: CBState,
@@ -173,7 +189,8 @@ def swap_in(
     return (
         CBState(
             tokens=put_row(state.tokens, ss_tokens, s),
-            cache=jax.tree.map(put_pair, state.cache, ss_cache),
+            cache=_constrain_cache(
+                jax.tree.map(put_pair, state.cache, ss_cache), self_cache_spec),
             keys=put_row(state.keys, ss_key, s),
             dec_step=put_row(state.dec_step, prefill_step - 1, s),
             eos_detected=put_row(state.eos_detected, jnp.asarray(False), s),
@@ -187,7 +204,8 @@ def swap_in(
             top_p=put_row(state.top_p, float_row[2], s),
             greedy=put_row(state.greedy, greedy, s),
         ),
-        jax.tree.map(put_pair, cross_cache, ss_cross),
+        _constrain_cache(
+            jax.tree.map(put_pair, cross_cache, ss_cross), cross_cache_spec),
         _put_mask(cross_mask, ss_mask, s, N),
     )
 
@@ -229,6 +247,10 @@ def cb_segment(
     max_delay = d.max_delay
     eos, pad = d.audio_eos_value, d.audio_pad_value
     N, _, C = state.tokens.shape
+    # TP: pin both caches to the head-sharded layout before and inside the
+    # loop so SPMD never replicates them across the segment
+    state = state._replace(cache=_constrain_cache(state.cache, self_cache_spec))
+    cross_cache = _constrain_cache(cross_cache, cross_cache_spec)
 
     def body(carry):
         s, i = carry
@@ -243,6 +265,7 @@ def cb_segment(
             s.cache, cross_cache, cross_mask, compute_dtype,
             skip_uncond_cross=True,
         )  # [2N, 1, C, V]
+        new_cache = _constrain_cache(new_cache, self_cache_spec)
         uncond = logits[:N, 0]
         cond_l = logits[N:, 0]
         guided = cond_l + s.cfg_scale[:, None, None] * (cond_l - uncond)
@@ -341,8 +364,16 @@ class ContinuousBatcher:
         max_tokens: int = 1024,
         text_window: int | None = 256,
         cfg_filter_top_k: int = 35,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` for tensor-parallel serving —
+        pass TP-sharded params (``parallel.sharding.shard_params``) in
+        ``dia.params``; the worker thread traces every device call under the
+        mesh and the segment loop pins both KV caches to the head-sharded
+        layout (1 KV head per chip on v5e-4), so lane tokens stay
+        bit-identical to the single-device run (tests/test_cbatch.py)."""
         self._dia = dia
+        self._mesh = mesh
         cfg = dia.config
         self.n_slots = int(n_slots)
         self.segment_steps = int(segment_steps)
@@ -352,9 +383,10 @@ class ContinuousBatcher:
         self.cache_len = _cache_len_for(self.max_tokens, 0, cfg) or cfg.data.audio_length
         self.text_window = min(int(text_window or cfg.data.text_length),
                                cfg.data.text_length)
-        self._state, self._cross, self._mask = cb_init(
-            cfg, self.n_slots, self.cache_len, self.text_window,
-            dia.compute_dtype, self._quant)
+        with self._mesh_scope():
+            self._state, self._cross, self._mask = cb_init(
+                cfg, self.n_slots, self.cache_len, self.text_window,
+                dia.compute_dtype, self._quant)
         self._lanes: list[_Lane | None] = [None] * self.n_slots
         self._q: deque = deque()
         self._cond = threading.Condition()
@@ -592,6 +624,14 @@ class ContinuousBatcher:
                 lane.stream_q.put(None)  # close the chunk iterator
             lane.future.set_result(codes)
 
+    def _mesh_scope(self):
+        """The TP mesh context for the worker thread's device calls (mesh
+        contexts are thread-local, so entering it at construction time would
+        not cover the worker), or a no-op without a mesh."""
+        import contextlib
+
+        return self._mesh if self._mesh is not None else contextlib.nullcontext()
+
     def _run(self) -> None:
         cfg = self._dia.config
         seg = jnp.asarray(self.segment_steps, jnp.int32)
@@ -607,20 +647,21 @@ class ContinuousBatcher:
                 for slot in range(self.n_slots):
                     if self._lanes[slot] is None and self._q:
                         batch.append((slot, self._q.popleft()))
-            for slot, req in batch:
-                try:
-                    self._admit(slot, req)
-                except Exception as e:  # noqa: BLE001 — deliver, don't die
-                    req["future"].set_exception(e)
-                    if req.get("stream_q") is not None:
-                        req["stream_q"].put(None)
-            live = sum(lane is not None for lane in self._lanes)
-            self.stats["max_live"] = max(self.stats["max_live"], live)
-            if live == 0:
-                continue
-            self._state = cb_segment(
-                self._dia.params, cfg, self._state, self._cross, self._mask,
-                seg, self.cfg_filter_top_k, self._dia.compute_dtype)
-            self.stats["segments"] += 1
-            self._emit_streams()
-            self._harvest()
+            with self._mesh_scope():
+                for slot, req in batch:
+                    try:
+                        self._admit(slot, req)
+                    except Exception as e:  # noqa: BLE001 — deliver, don't die
+                        req["future"].set_exception(e)
+                        if req.get("stream_q") is not None:
+                            req["stream_q"].put(None)
+                live = sum(lane is not None for lane in self._lanes)
+                self.stats["max_live"] = max(self.stats["max_live"], live)
+                if live == 0:
+                    continue
+                self._state = cb_segment(
+                    self._dia.params, cfg, self._state, self._cross, self._mask,
+                    seg, self.cfg_filter_top_k, self._dia.compute_dtype)
+                self.stats["segments"] += 1
+                self._emit_streams()
+                self._harvest()

@@ -392,6 +392,58 @@ def test_http_stream_endpoint_matches_offline(tiny):
         batcher.shutdown()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_tensor_parallel_lanes_match_single_device():
+    """Continuous batching on a (2,4) TP mesh: staggered lane tokens equal
+    the unsharded batcher's, per request."""
+    from dia_tts_prune_tpu.config import (
+        DataConfig, DecoderConfig, DiaConfig, EncoderConfig, ModelConfig,
+    )
+    from dia_tts_prune_tpu.models.dia import init_params as _init
+    from dia_tts_prune_tpu.parallel.sharding import make_mesh, shard_params
+
+    cfg = DiaConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(n_layer=2, n_embd=64, n_hidden=256,
+                                  n_head=8, head_dim=16),
+            decoder=DecoderConfig(
+                n_layer=2, n_embd=64, n_hidden=256, gqa_query_heads=8,
+                kv_heads=4, gqa_head_dim=16, cross_query_heads=8,
+                cross_head_dim=16,
+            ),
+            src_vocab_size=256,
+            tgt_vocab_size=1028,
+        ),
+        data=DataConfig(text_length=128, audio_length=128),
+    )
+    params = _init(cfg, jax.random.PRNGKey(1))
+
+    class _Dia:
+        pass
+
+    def run(p, mesh=None):
+        dia = _Dia()
+        dia.config = cfg
+        dia.params = p
+        dia.compute_dtype = "float32"
+        cb = ContinuousBatcher(dia, n_slots=2, segment_steps=8,
+                               max_tokens=MT, text_window=128, mesh=mesh)
+        try:
+            f0 = cb.submit("[S1] tp lane zero", temperature=0.0, seed=11)
+            time.sleep(0.02)
+            f1 = cb.submit("[S1] tp lane one differs", temperature=1.2, seed=12)
+            return f0.result(600), f1.result(600)
+        finally:
+            cb.shutdown()
+
+    ref0, ref1 = run(params)
+    mesh = make_mesh(data=2, model=4)  # kv heads (4) → v5e-4 TP plan
+    sp = shard_params(params, mesh, config=cfg)
+    out0, out1 = run(sp, mesh=mesh)
+    np.testing.assert_array_equal(out0, ref0)
+    np.testing.assert_array_equal(out1, ref1)
+
+
 def test_shutdown_drains_queue(tiny):
     """shutdown(wait=True) finishes queued work before returning."""
     cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
