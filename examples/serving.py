@@ -12,8 +12,11 @@ rebuild serves batches and streams:
 * ``generate_stream`` yields audio chunks while decoding continues (first
   chunk in under half a second on a v5e chip).
 
-For a full HTTP server with dynamic request coalescing, run
-``python -m dia_tts_prune_tpu.app --dynamic-batch`` (serving.py).
+For a full HTTP server, run ``python -m dia_tts_prune_tpu.app
+--continuous-batch`` (cbatch.py): requests join a running batched decode at
+segment boundaries, every lane can stream (``POST /stream`` returns a live
+WAV), and seeded outputs are reproducible under any traffic.  Use
+``--dynamic-batch`` (serving.py) when traffic arrives in homogeneous bursts.
 """
 
 from dia_tts_prune_tpu import Dia
