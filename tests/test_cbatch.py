@@ -444,6 +444,63 @@ def test_tensor_parallel_lanes_match_single_device():
     np.testing.assert_array_equal(out1, ref1)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_tensor_parallel_quant_kv_lanes_match_single_device(monkeypatch):
+    """The TPU serving default stack end-to-end sharded: packed-int8 weights
+    + int8 KV caches + continuous batching on a (2,4) mesh, token-exact vs
+    the unsharded quant batcher."""
+    from dia_tts_prune_tpu.config import (
+        DataConfig, DecoderConfig, DiaConfig, EncoderConfig, ModelConfig,
+    )
+    from dia_tts_prune_tpu.models.dia import init_params as _init
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+    from dia_tts_prune_tpu.parallel.sharding import make_mesh, shard_params
+
+    monkeypatch.setenv("DIA_KV_INT8", "1")
+    cfg = DiaConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(n_layer=2, n_embd=64, n_hidden=256,
+                                  n_head=8, head_dim=16),
+            decoder=DecoderConfig(
+                n_layer=2, n_embd=64, n_hidden=256, gqa_query_heads=8,
+                kv_heads=4, gqa_head_dim=16, cross_query_heads=8,
+                cross_head_dim=16,
+            ),
+            src_vocab_size=256,
+            tgt_vocab_size=1028,
+        ),
+        data=DataConfig(text_length=128, audio_length=128),
+    )
+    params = _init(cfg, jax.random.PRNGKey(1))
+
+    class _Dia:
+        pass
+
+    def run(p, mesh=None):
+        dia = _Dia()
+        dia.config = cfg
+        dia.params = p
+        dia.compute_dtype = "float32"
+        cb = ContinuousBatcher(dia, n_slots=2, segment_steps=8,
+                               max_tokens=MT, text_window=128, mesh=mesh)
+        try:
+            assert cb._quant
+            f0 = cb.submit("[S1] tp quant zero", temperature=0.0, seed=21)
+            f1 = cb.submit("[S1] tp quant one", temperature=1.2, seed=22)
+            return f0.result(600), f1.result(600)
+        finally:
+            cb.shutdown()
+
+    ref = run(quantize_params_int8_packed(params, fused=False))
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    with mesh:  # quantize sharded arrays → sharded packed kernels
+        sp_packed = quantize_params_int8_packed(sp, fused=False)
+    out = run(sp_packed, mesh=mesh)
+    np.testing.assert_array_equal(out[0], ref[0])
+    np.testing.assert_array_equal(out[1], ref[1])
+
+
 def test_shutdown_drains_queue(tiny):
     """shutdown(wait=True) finishes queued work before returning."""
     cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
