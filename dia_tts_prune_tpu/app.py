@@ -285,11 +285,17 @@ def make_server(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
             self.send_header("Content-Type", "audio/wav")
             self.end_headers()
             self.wfile.write(_wav_stream_header(SAMPLE_RATE))
-            if first is not None:
-                for chunk in itertools.chain([first], chunks):
-                    pcm = (np.clip(chunk, -1, 1) * 32767).astype(np.int16)
-                    self.wfile.write(pcm.tobytes())
-                    self.wfile.flush()
+            try:
+                if first is not None:
+                    for chunk in itertools.chain([first], chunks):
+                        pcm = (np.clip(chunk, -1, 1) * 32767).astype(np.int16)
+                        self.wfile.write(pcm.tobytes())
+                        self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client left; closing the generator frees the lane
+            finally:
+                if hasattr(chunks, "close"):
+                    chunks.close()
 
         def do_POST(self):
             if self.path == "/stream":

@@ -389,6 +389,7 @@ class ContinuousBatcher:
                 dia.compute_dtype, self._quant)
         self._lanes: list[_Lane | None] = [None] * self.n_slots
         self._q: deque = deque()
+        self._cancel: dict[int, Future] = {}  # slot → future to cancel
         self._cond = threading.Condition()
         self._running = True
         self.stats = {"requests": 0, "segments": 0, "completed": 0,
@@ -434,6 +435,49 @@ class ContinuousBatcher:
             self._cond.notify_all()
         return fut
 
+    def cancel(self, future: Future) -> bool:
+        """Best-effort cancel of a ``submit``/``submit_stream`` request.
+
+        A still-queued request is dropped immediately; an admitted lane is
+        stopped (writes frozen) and freed at the next segment boundary —
+        the slot becomes available for the next request instead of decoding
+        to its cap for a client that left.  Returns True if the request
+        will do no further device work."""
+        with self._cond:
+            for req in list(self._q):
+                if req["future"] is future:
+                    self._q.remove(req)
+                    future.cancel()
+                    if req.get("stream_q") is not None:
+                        req["stream_q"].put(None)
+                    return True
+            for i, lane in enumerate(self._lanes):
+                if lane is not None and lane.future is future:
+                    self._cancel[i] = future
+                    self._cond.notify_all()
+                    return True
+        return False
+
+    def _apply_cancels(self) -> None:
+        """Free lanes whose futures were cancelled (worker thread; the
+        future identity check guards against the slot having been harvested
+        and reused since cancel() marked it)."""
+        with self._cond:
+            pending = list(self._cancel.items())
+            self._cancel.clear()
+        for i, fut in pending:
+            lane = self._lanes[i]
+            if lane is None or lane.future is not fut:
+                continue  # finished (and possibly reused) before the cancel
+            self._lanes[i] = None
+            lane.future.cancel()
+            if lane.stream_q is not None:
+                lane.stream_q.put(None)
+            # freeze the lane's writes until the slot is reused (tiny
+            # host-side single-element update, outside any jit)
+            self._state = self._state._replace(
+                stop=self._state.stop.at[i].set(True))
+
     def submit_stream(self, text: str, **kwargs):
         """Stream one request's undelayed code chunks while it shares the
         device with the other lanes — a chunk of newly finalized frames
@@ -445,13 +489,21 @@ class ContinuousBatcher:
         fut = self.submit(text, _stream_q=q, **kwargs)
 
         def _chunks():
-            while True:
-                item = q.get()
-                if item is None:
-                    if fut.done() and fut.exception() is not None:
-                        raise fut.exception()
-                    return
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        if fut.cancelled():
+                            return
+                        if fut.done() and fut.exception() is not None:
+                            raise fut.exception()
+                        return
+                    yield item
+            except GeneratorExit:
+                # consumer left mid-stream (e.g. HTTP client disconnected):
+                # free the lane instead of decoding to the cap for nobody
+                self.cancel(fut)
+                raise
 
         return _chunks()
 
@@ -636,6 +688,7 @@ class ContinuousBatcher:
         cfg = self._dia.config
         seg = jnp.asarray(self.segment_steps, jnp.int32)
         while True:
+            self._apply_cancels()
             with self._cond:
                 if not self._running and not self._q and not any(
                         lane is not None for lane in self._lanes):

@@ -165,6 +165,45 @@ def test_kv_int8_lanes_match_single_stream(tiny, monkeypatch):
     np.testing.assert_array_equal(outs[1], refs[1])
 
 
+def test_cancel_queued_and_running_requests(tiny):
+    """cancel() drops a queued request immediately, frees a running lane at
+    the next segment boundary, and the slot is reused by later requests."""
+    from concurrent.futures import CancelledError
+
+    cb = ContinuousBatcher(tiny, n_slots=1, segment_steps=4, max_tokens=MT,
+                           text_window=128)
+    try:
+        running = cb.submit("[S1] long running lane", temperature=0.0, seed=1)
+        queued = cb.submit("[S1] never admitted", temperature=0.0, seed=2)
+        assert cb.cancel(queued), "queued request should be cancellable"
+        assert queued.cancelled()
+        assert cb.cancel(running), "running lane should be cancellable"
+        with pytest.raises(CancelledError):
+            running.result(300)
+        # the freed slot serves the next request to completion
+        after = cb.submit("[S1] after cancel", temperature=0.0, seed=3).result(300)
+        assert after.shape[1] == 9
+        assert not cb.cancel(after)  # already finished: nothing to do
+    finally:
+        cb.shutdown()
+
+
+def test_stream_consumer_disconnect_frees_lane(tiny):
+    """Closing a stream iterator mid-flight cancels its lane; the batcher
+    keeps serving other requests."""
+    cb = ContinuousBatcher(tiny, n_slots=1, segment_steps=4, max_tokens=MT,
+                           text_window=128)
+    try:
+        it = cb.submit_stream("[S1] stream then vanish", temperature=0.0, seed=5)
+        next(it)  # consume one chunk, then walk away
+        it.close()
+        # the single slot must come free for the next request
+        after = cb.submit("[S1] next customer", temperature=0.0, seed=6).result(300)
+        assert after.shape[1] == 9
+    finally:
+        cb.shutdown()
+
+
 def test_bad_request_delivers_exception_and_keeps_serving(tiny):
     """A request that fails at admission resolves ITS future with the error;
     the batcher keeps serving the rest."""
