@@ -393,7 +393,7 @@ class ContinuousBatcher:
         self._cond = threading.Condition()
         self._running = True
         self.stats = {"requests": 0, "segments": 0, "completed": 0,
-                      "max_live": 0}
+                      "cancelled": 0, "max_live": 0}
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dia-continuous-batcher")
         self._worker.start()
@@ -448,6 +448,7 @@ class ContinuousBatcher:
                 if req["future"] is future:
                     self._q.remove(req)
                     future.cancel()
+                    self.stats["cancelled"] += 1
                     if req.get("stream_q") is not None:
                         req["stream_q"].put(None)
                     return True
@@ -471,6 +472,7 @@ class ContinuousBatcher:
                 continue  # finished (and possibly reused) before the cancel
             self._lanes[i] = None
             lane.future.cancel()
+            self.stats["cancelled"] += 1
             if lane.stream_q is not None:
                 lane.stream_q.put(None)
             # freeze the lane's writes until the slot is reused (tiny
