@@ -446,13 +446,37 @@ def main(argv=None) -> int:
                         help="decode steps between admission opportunities")
     parser.add_argument("--cb-max-tokens", type=int, default=1024,
                         help="per-request token cap (sets the static cache)")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel serving over N chips (shards "
+                             "heads/FFN; requires --continuous-batch — the "
+                             "batcher's worker owns the mesh context)")
     args = parser.parse_args(argv)
 
     from .api import Dia
 
     dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype,
                               dac_checkpoint=args.dac_checkpoint)
-    if args.quantize_int8:
+    mesh = None
+    if args.tp > 0:
+        if not args.continuous_batch:
+            parser.error("--tp requires --continuous-batch")
+        import jax
+
+        from .parallel.sharding import make_mesh, shard_params
+
+        devs = jax.devices()
+        if len(devs) < args.tp:
+            parser.error(f"--tp {args.tp} needs {args.tp} devices, "
+                         f"found {len(devs)}")
+        mesh = make_mesh(data=1, model=args.tp, devices=devs[: args.tp])
+        # shard the bf16 tree FIRST; quantizing sharded arrays yields
+        # sharded packed kernels (packed kernels are custom pytree nodes
+        # shard_params does not traverse — docs/SERVING.md)
+        dia.params = shard_params(dia.params, mesh, config=dia.config)
+        if args.quantize_int8:
+            with mesh:
+                dia.quantize_int8()
+    elif args.quantize_int8:
         dia.quantize_int8()
 
     batcher = None
@@ -461,7 +485,7 @@ def main(argv=None) -> int:
 
         batcher = ContinuousBatcher(dia, n_slots=args.cb_slots,
                                     segment_steps=args.cb_segment_steps,
-                                    max_tokens=args.cb_max_tokens)
+                                    max_tokens=args.cb_max_tokens, mesh=mesh)
     elif args.dynamic_batch:
         from .serving import DynamicBatcher
 

@@ -157,3 +157,38 @@ def test_finetune_cli_smoke(model_dir, tmp_path, monkeypatch):
     assert (out / "adapter" / "adapter_weights.npz").exists()
     assert (out / "pytorch_model.bin").exists()
     assert (out / "training_args.json").exists()
+
+
+def test_app_tp_continuous_batch_wiring(model_dir, monkeypatch):
+    """`app.py --continuous-batch --tp 2` shards params onto a 2-chip mesh
+    and serves through a mesh-aware ContinuousBatcher (serve_http stubbed to
+    drive one request and return)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 (virtual) devices")
+    d, dac_cfg = model_dir
+    _patch_dac_config(monkeypatch, dac_cfg)
+    import dia_tts_prune_tpu.app as app_mod
+
+    captured = {}
+
+    def fake_serve(dia, host, port, batcher=None):
+        captured["batcher"] = batcher
+        captured["wav"] = batcher.generate("[S1] tp serve", max_tokens=48,
+                                           temperature=0.0, seed=0)
+
+    monkeypatch.setattr(app_mod, "serve_http", fake_serve)
+    rc = app_mod.main(["--model-path", str(d), "--dac-checkpoint",
+                       str(d / "dac.pth"), "--compute-dtype", "float32",
+                       "--continuous-batch", "--tp", "2", "--cb-slots", "2",
+                       "--cb-max-tokens", "48", "--no-gradio"])
+    assert rc == 0
+    b = captured["batcher"]
+    try:
+        assert type(b).__name__ == "ContinuousBatcher"
+        assert b._mesh is not None and b._mesh.shape["model"] == 2
+        assert captured["wav"] is not None and captured["wav"].size > 0
+    finally:
+        b.shutdown()
+
+    with pytest.raises(SystemExit):  # --tp without --continuous-batch
+        app_mod.main(["--model-path", str(d), "--tp", "2", "--no-gradio"])
