@@ -686,7 +686,35 @@ class ContinuousBatcher:
 
         return self._mesh if self._mesh is not None else contextlib.nullcontext()
 
+    def _fail_all(self, exc: BaseException) -> None:
+        """Worker died (e.g. the device backend went away mid-serving):
+        resolve every queued and in-flight request with the failure instead
+        of leaving clients blocked on futures forever, and stop accepting."""
+        with self._cond:
+            self._running = False
+            queued = list(self._q)
+            self._q.clear()
+        for req in queued:
+            if not req["future"].done():
+                req["future"].set_exception(exc)
+            if req.get("stream_q") is not None:
+                req["stream_q"].put(None)
+        for i, lane in enumerate(self._lanes):
+            if lane is None:
+                continue
+            self._lanes[i] = None
+            if not lane.future.done():
+                lane.future.set_exception(exc)
+            if lane.stream_q is not None:
+                lane.stream_q.put(None)
+
     def _run(self) -> None:
+        try:
+            self._run_loop()
+        except Exception as e:  # noqa: BLE001 — deliver, don't hang clients
+            self._fail_all(e)
+
+    def _run_loop(self) -> None:
         cfg = self._dia.config
         seg = jnp.asarray(self.segment_steps, jnp.int32)
         while True:

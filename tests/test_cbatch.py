@@ -540,6 +540,29 @@ def test_tensor_parallel_quant_kv_lanes_match_single_device(monkeypatch):
     np.testing.assert_array_equal(out[1], ref[1])
 
 
+def test_worker_failure_fails_futures_instead_of_hanging(tiny, monkeypatch):
+    """If the device backend dies mid-serving (segment dispatch raises), all
+    pending futures resolve with the failure and the batcher stops accepting
+    — no client blocks forever on a dead worker."""
+    import dia_tts_prune_tpu.cbatch as cbatch_mod
+
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=128)
+
+    def boom(*a, **k):
+        raise RuntimeError("backend went away")
+
+    monkeypatch.setattr(cbatch_mod, "cb_segment", boom)
+    f1 = cb.submit("[S1] doomed", temperature=0.0, seed=1)
+    it = cb.submit_stream("[S1] doomed stream", temperature=0.0, seed=2)
+    with pytest.raises(RuntimeError, match="backend went away"):
+        f1.result(120)
+    with pytest.raises(RuntimeError, match="backend went away"):
+        list(it)
+    with pytest.raises(RuntimeError):  # shut down: no new work accepted
+        cb.submit("[S1] after death")
+
+
 def test_shutdown_drains_queue(tiny):
     """shutdown(wait=True) finishes queued work before returning."""
     cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=16, max_tokens=MT,
