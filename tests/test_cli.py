@@ -180,7 +180,8 @@ def test_app_tp_continuous_batch_wiring(model_dir, monkeypatch):
     rc = app_mod.main(["--model-path", str(d), "--dac-checkpoint",
                        str(d / "dac.pth"), "--compute-dtype", "float32",
                        "--continuous-batch", "--tp", "2", "--cb-slots", "2",
-                       "--cb-max-tokens", "48", "--no-gradio"])
+                       "--cb-max-tokens", "48", "--no-gradio",
+                       "--quantize-int8"])  # shard bf16 THEN quantize under mesh
     assert rc == 0
     b = captured["batcher"]
     try:
