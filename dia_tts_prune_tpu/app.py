@@ -446,6 +446,10 @@ def main(argv=None) -> int:
                         help="decode steps between admission opportunities")
     parser.add_argument("--cb-max-tokens", type=int, default=1024,
                         help="per-request token cap (sets the static cache)")
+    parser.add_argument("--cb-text-window", type=int, default=256,
+                        help="static cross-attention text window (encoded "
+                             "bytes) shared by all lanes; longer requests "
+                             "are rejected with a 400")
     parser.add_argument("--tp", type=int, default=0,
                         help="tensor-parallel serving over N chips (shards "
                              "heads/FFN; requires --continuous-batch — the "
@@ -475,7 +479,15 @@ def main(argv=None) -> int:
         dia.params = shard_params(dia.params, mesh, config=dia.config)
         if args.quantize_int8:
             with mesh:
-                dia.quantize_int8()
+                dia.quantize_int8()  # rebuilds dia.generator on the new tree
+        else:
+            # rebuild the generator too: it must reference the sharded tree,
+            # both for fallback (multi-chunk) requests and to release the
+            # unsharded weights it would otherwise keep resident
+            from .generate import DiaGenerator
+
+            dia.generator = DiaGenerator(dia.params, dia.config,
+                                         dia.compute_dtype)
     elif args.quantize_int8:
         dia.quantize_int8()
 
@@ -485,7 +497,8 @@ def main(argv=None) -> int:
 
         batcher = ContinuousBatcher(dia, n_slots=args.cb_slots,
                                     segment_steps=args.cb_segment_steps,
-                                    max_tokens=args.cb_max_tokens, mesh=mesh)
+                                    max_tokens=args.cb_max_tokens,
+                                    text_window=args.cb_text_window, mesh=mesh)
     elif args.dynamic_batch:
         from .serving import DynamicBatcher
 

@@ -50,6 +50,7 @@ import numpy as np
 from .config import DiaConfig
 from .generate import (
     CFG_BATCH,
+    _bucket,
     _cache_len_for,
     _dtype_of,
     _kv_cache_quant,
@@ -568,11 +569,18 @@ class ContinuousBatcher:
                 prompt_codes = self._dia.load_audio(audio_prompt)
             else:
                 prompt_codes = np.asarray(audio_prompt)
-        codes = self.submit(
+        fut = self.submit(
             text, cfg_scale=cfg_scale, temperature=temperature, top_p=top_p,
             seed=seed, max_tokens=max_tokens,
             audio_prompt_codes=prompt_codes, audio_prompt_text=audio_prompt_text,
-        ).result(timeout)
+        )
+        try:
+            codes = fut.result(timeout)
+        except TimeoutError:
+            # the client gets the error either way — free the lane instead
+            # of decoding to the cap for nobody
+            self.cancel(fut)
+            raise
         if codes.shape[0] == 0:
             return None
         return self._dia._decode_waveform(codes)
@@ -591,13 +599,21 @@ class ContinuousBatcher:
         d = cfg.data
         effective_text = build_effective_text(req["text"], req["audio_prompt_text"])
         enc_input = encode_cfg_batch(effective_text, d.text_length, d.text_pad_value)
+        # the batch shares ONE static cross window (compiled once at server
+        # start); a longer text must be rejected loudly — slicing it to the
+        # window would silently drop real conditioning
+        text_len = int((np.asarray(enc_input) != d.text_pad_value).sum(axis=-1).max())
+        if text_len > self.text_window:
+            raise ValueError(
+                f"effective text is {text_len} encoded bytes, over this "
+                f"server's text window of {self.text_window}; chunk the text "
+                f"or restart with a larger --cb-text-window")
         delayed, prefill_step = prepare_audio_prompt(cfg, req["audio_prompt_codes"])
         tokens_buf = np.full((d.audio_length, d.channels), -1, dtype=np.int32)
         tokens_buf[: delayed.shape[0]] = delayed
         window = None
         if prefill_step > 1:
-            window = min(d.audio_length,
-                         max(128, -(-(prefill_step - 1) // 128) * 128))
+            window = _bucket(prefill_step - 1, 128, d.audio_length)
         ss_state, ss_cross, ss_mask = prepare_stream(
             self._dia.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
             jnp.asarray([prefill_step, req["seed"]], jnp.int32),

@@ -424,8 +424,10 @@ def generate_fused(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
-    kv_quant: bool | None = None,  # int8 KV caches; STATIC so env changes
-    # between calls cannot silently hit a stale cached executable
+    kv_quant: bool | None = None,  # int8 KV caches (STATIC). None resolves
+    # DIA_KV_INT8 ONCE at first trace and the resolution is baked into the
+    # None-keyed executable — pass an explicit bool (as every internal call
+    # site does) if the flag must be switchable between calls.
 ):
     """Whole generation — conditioning, prompt prefill, decode loop — as ONE
     compiled dispatch.
@@ -505,7 +507,8 @@ def generate_fused_batch(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
-    kv_quant: bool | None = None,  # static — see generate_fused
+    kv_quant: bool | None = None,  # static; None bakes the first-trace
+    # resolution — pass an explicit bool to switch at runtime (generate_fused)
 ):
     """N-stream batched generation — with per-stream voice-clone prompts —
     in one dispatch.
@@ -659,7 +662,8 @@ def prepare_stream(
     compute_dtype_name: str,
     cross_window: int | None = None,
     cache_len: int | None = None,
-    kv_quant: bool | None = None,  # None = auto; False for consumers that
+    kv_quant: bool | None = None,  # None = auto AT FIRST TRACE (baked into
+    # the None-keyed executable); False for consumers that
     # replay the cache through decode_window (speculative verify)
 ):
     """Conditioning + voice-clone prefill + initial loop state for
@@ -812,7 +816,7 @@ class DiaGenerator:
         # dominates time-to-first-audio on remote-attached accelerators)
         window = None
         if prefill_step > 1:
-            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
+            window = _bucket(prefill_step - 1, 128, d.audio_length)
         int_args = np.asarray(
             [prefill_step, max_tokens, _resolve_seed(seed)], np.int32
         )
@@ -888,7 +892,7 @@ class DiaGenerator:
 
         window = None
         if prefill_step > 1:
-            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
+            window = _bucket(prefill_step - 1, 128, d.audio_length)
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
             jnp.asarray([prefill_step, _resolve_seed(seed)], jnp.int32),
@@ -989,7 +993,7 @@ class DiaGenerator:
             # exact window when the bucket would eat the generation budget
             # (all streams start generating at row `window`, unlike the
             # single-stream path where the window never shifts the loop)
-            window = max(128, -(-max_p // 128) * 128)
+            window = _bucket(max_p, 128, d.audio_length)
             if window > d.audio_length - 32:
                 window = max_p
         start = window if window is not None else 1

@@ -42,6 +42,7 @@ import numpy as np
 from .config import DiaConfig
 from .generate import (
     CFG_BATCH,
+    _bucket,
     _cache_len_for,
     _cross_window_for,
     _dtype_of,
@@ -306,7 +307,7 @@ class SpeculativeGenerator:
 
         window = None
         if prefill_step > 1:
-            window = min(d.audio_length, max(128, -(-(prefill_step - 1) // 128) * 128))
+            window = _bucket(prefill_step - 1, 128, d.audio_length)
         state, cross_cache, cross_mask = prepare_stream(
             self.params, cfg, jnp.asarray(enc_input), jnp.asarray(tokens_buf),
             jnp.asarray([prefill_step, _resolve_seed(seed)], jnp.int32),

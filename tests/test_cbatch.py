@@ -204,6 +204,21 @@ def test_stream_consumer_disconnect_frees_lane(tiny):
         cb.shutdown()
 
 
+def test_text_over_window_rejected_not_truncated(tiny):
+    """A text longer than the server's static cross window is rejected with
+    a clear error instead of silently losing conditioning."""
+    cb = ContinuousBatcher(tiny, n_slots=2, segment_steps=8, max_tokens=MT,
+                           text_window=64)
+    try:
+        long_text = "[S1] " + "word " * 40  # > 64 encoded bytes
+        with pytest.raises(ValueError, match="text window"):
+            cb.submit(long_text, temperature=0.0, seed=1).result(300)
+        ok = cb.submit("[S1] short", temperature=0.0, seed=2).result(300)
+        assert ok.shape[1] == 9  # still serving
+    finally:
+        cb.shutdown()
+
+
 def test_bad_request_delivers_exception_and_keeps_serving(tiny):
     """A request that fails at admission resolves ITS future with the error;
     the batcher keeps serving the rest."""

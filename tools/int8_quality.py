@@ -66,6 +66,7 @@ def compare_kv_int8(params, config, steps: int = 256, seed: int = 0,
     gen = DiaGenerator(params_q, config, "bfloat16")
 
     outs = {}
+    prior = os.environ.get("DIA_KV_INT8")  # restore the operator's setting
     for flag in ("0", "1"):
         os.environ["DIA_KV_INT8"] = flag
         try:
@@ -73,7 +74,10 @@ def compare_kv_int8(params, config, steps: int = 256, seed: int = 0,
                 text, max_tokens=max_tokens, temperature=0.0, seed=seed,
                 cache_len=max_tokens))
         finally:
-            del os.environ["DIA_KV_INT8"]
+            if prior is None:
+                del os.environ["DIA_KV_INT8"]
+            else:
+                os.environ["DIA_KV_INT8"] = prior
     a, b = outs["0"], outs["1"]
     n = min(a.shape[0], b.shape[0])
     eq = a[:n] == b[:n]

@@ -196,9 +196,9 @@ def main() -> int:
         greedy-token agreement + teacher-forced logit delta vs bf16
         (tools/int8_quality.py — its random-weight numbers are the worst
         case; this stage produces the decision-grade ones)."""
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
         from int8_quality import compare, compare_kv_int8  # noqa: E402
 
-        sys.path.insert(0, str(Path(__file__).resolve().parent))
         return {
             "weights": compare(dia.params, dia.config,
                                steps=min(args.max_tokens, 256),
