@@ -376,7 +376,26 @@ def serve_http(dia, host: str = "0.0.0.0", port: int = 7860, batcher=None):
             else "dynamic-batched")
     print(f"Serving Dia TTS API on http://{host}:{server.server_address[1]} "
           f"(POST /generate, {mode})")
-    server.serve_forever()
+
+    # graceful drain on SIGTERM/SIGINT: stop accepting, let the batcher
+    # finish queued + in-flight requests, then exit 0 (container-friendly)
+    import signal
+    import threading as _th
+
+    def _drain(signum, frame):
+        _th.Thread(target=server.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _drain)
+        except ValueError:  # non-main thread (e.g. tests): skip handlers
+            break
+    try:
+        server.serve_forever()
+    finally:
+        if batcher is not None:
+            batcher.shutdown()
+        print("Dia TTS server drained and stopped.")
 
 
 def serve_gradio(dia, host: str = "0.0.0.0", port: int = 7860):

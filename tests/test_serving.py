@@ -169,3 +169,57 @@ def test_http_server_with_dynamic_batching(tiny_dia):
     finally:
         server.shutdown()
         batcher.shutdown()
+
+
+def test_serve_http_sigterm_drains_and_exits(tmp_path):
+    """SIGTERM to the serving process stops accepting, drains the batcher,
+    and exits 0 (container-friendly) — serve_http's signal path."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import jax\n"
+        "from dia_tts_prune_tpu import Dia, tiny_test_config\n"
+        "from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params\n"
+        "from dia_tts_prune_tpu.cbatch import ContinuousBatcher\n"
+        "from dia_tts_prune_tpu.app import serve_http\n"
+        "dia = Dia.random_init(tiny_test_config(), seed=0)\n"
+        "dia.dac_config = DACConfig(encoder_dim=8, encoder_rates=(2,4),\n"
+        "    decoder_dim=32, decoder_rates=(4,2), n_codebooks=9,\n"
+        "    codebook_size=1024, codebook_dim=4)\n"
+        "dia.dac_params = init_dac_params(dia.dac_config, jax.random.PRNGKey(1))\n"
+        "b = ContinuousBatcher(dia, n_slots=2, segment_steps=16, max_tokens=48,\n"
+        "    text_window=128)\n"
+        "serve_http(dia, host='127.0.0.1', port=0, batcher=b)\n"
+    )
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen([sys.executable, str(script)], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"server died early:\n{proc.stdout.read()[-2000:]}")
+            _time.sleep(1.0)
+            # wait until the banner prints (server is up)
+            os.set_blocking(proc.stdout.fileno(), False)
+            line = proc.stdout.readline()
+            os.set_blocking(proc.stdout.fileno(), True)
+            if line and "Serving Dia TTS API" in line:
+                break
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+        assert proc.returncode == 0, out[-2000:]
+        assert "drained and stopped" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
