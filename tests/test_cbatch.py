@@ -499,6 +499,58 @@ def test_tensor_parallel_lanes_match_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_cb_segment_cache_sharded_in_compiled_hlo():
+    """Post-SPMD HLO evidence for the continuous-batch segment on a (2,4)
+    mesh: the lane KV cache appears only at per-shard head shape inside the
+    while-loop carry, and no collective ever materializes the full cache —
+    the same contract test_sharding proves for generate_fused."""
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.cbatch import cb_init, cb_segment
+    from dia_tts_prune_tpu.config import (
+        DataConfig, DecoderConfig, DiaConfig, EncoderConfig, ModelConfig,
+    )
+    from dia_tts_prune_tpu.models.dia import init_params as _init
+    from dia_tts_prune_tpu.parallel.sharding import make_mesh, shard_params
+
+    cfg = DiaConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(n_layer=2, n_embd=64, n_hidden=256,
+                                  n_head=8, head_dim=16),
+            decoder=DecoderConfig(
+                n_layer=2, n_embd=64, n_hidden=256, gqa_query_heads=8,
+                kv_heads=4, gqa_head_dim=16, cross_query_heads=8,
+                cross_head_dim=16,
+            ),
+            src_vocab_size=256,
+            tgt_vocab_size=1028,
+        ),
+        data=DataConfig(text_length=128, audio_length=128),
+    )
+    params = _init(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    with mesh:
+        state, cross, mask = cb_init(cfg, 2, 128, 128, "float32", False)
+        lowered = cb_segment.lower(
+            sp, cfg, state, cross, mask, jnp.asarray(8, jnp.int32),
+            35, "float32")
+        hlo = lowered.compile().as_text()
+
+    L, N2, T = 2, 4, 128  # 2 lanes → 2N=4 cache rows
+    kvh, hd = cfg.model.decoder.kv_heads, cfg.model.decoder.gqa_head_dim
+    shard_shape = f"f32[{L},{N2},{T},{kvh // 4},{hd}]"
+    full_shape = f"f32[{L},{N2},{T},{kvh},{hd}]"
+    assert shard_shape in hlo, f"per-shard cache {shard_shape} not in HLO"
+    assert full_shape not in hlo, "full-size (replicated) lane cache in HLO"
+    assert hlo.count("all-reduce") > 0, "TP psum all-reduces missing"
+    for op in ("all-gather", "all-reduce", "collective-permute"):
+        for line in hlo.splitlines():
+            if f" {op}(" in line or line.lstrip().startswith(op):
+                assert full_shape not in line, f"{op} moves the full cache"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_tensor_parallel_quant_kv_lanes_match_single_device(monkeypatch):
     """The TPU serving default stack end-to-end sharded: packed-int8 weights
     + int8 KV caches + continuous batching on a (2,4) mesh, token-exact vs
