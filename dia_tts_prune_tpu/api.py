@@ -113,6 +113,7 @@ class Dia:
         self.compute_dtype = compute_dtype
         self.dac_config = dac_config or DACConfig()
         self.dac_params = dac_params
+        self._audio_cache: dict = {}  # (path, mtime, size) → DAC codes LRU
         self.generator = DiaGenerator(params, config, compute_dtype)
 
     # ------------------------------------------------------------------
@@ -389,12 +390,29 @@ class Dia:
     # ------------------------------------------------------------------
 
     def load_audio(self, audio_path: str | Path) -> np.ndarray:
-        """WAV file → DAC codes [T_codes, C] (reference: dia/model.py:546-576)."""
+        """WAV file → DAC codes [T_codes, C] (reference: dia/model.py:546-576).
+
+        Encodings are LRU-cached by (path, mtime, size): a server handling
+        repeated voice-clone requests with the same prompt file skips the
+        full DAC encoder pass after the first one; an edited file (new
+        mtime/size) re-encodes."""
         self._require_dac()
-        mono = load_audio_mono(audio_path, self.dac_config.sample_rate)
+        p = Path(audio_path).resolve()
+        st = p.stat()
+        key = (str(p), st.st_mtime_ns, st.st_size)
+        hit = self._audio_cache.get(key)
+        if hit is not None:
+            self._audio_cache.pop(key)
+            self._audio_cache[key] = hit  # refresh LRU order
+            return hit.copy()
+        mono = load_audio_mono(p, self.dac_config.sample_rate)
         mono = pad_audio(mono[None, :], self.dac_config.hop_length)
-        codes = encode_audio(self.dac_params, self.dac_config, jnp.asarray(mono))
-        return np.asarray(codes[0])
+        codes = np.asarray(
+            encode_audio(self.dac_params, self.dac_config, jnp.asarray(mono))[0])
+        self._audio_cache[key] = codes
+        while len(self._audio_cache) > 16:
+            self._audio_cache.pop(next(iter(self._audio_cache)))
+        return codes.copy()
 
     def save_audio(self, path: str | Path, audio: np.ndarray,
                    sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:

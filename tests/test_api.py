@@ -179,3 +179,37 @@ def test_chunked_decode_matches_whole_array(tiny_dia):
         chunked = tiny_dia._decode_waveform(codes)
         assert chunked.shape == whole.shape
         np.testing.assert_allclose(chunked, whole, atol=2e-5)
+
+
+def test_load_audio_caches_repeat_prompts(tiny_dia, tmp_path, monkeypatch):
+    """Repeated voice-clone prompts skip the DAC encoder (LRU by
+    path+mtime+size); an edited file re-encodes."""
+    import dia_tts_prune_tpu.api as api_mod
+
+    wav = tiny_dia.generate("[S1] cache me", max_tokens=48, temperature=0.0)
+    p = tmp_path / "prompt.wav"
+    tiny_dia.save_audio(p, wav, tiny_dia.dac_config.sample_rate)
+
+    calls = {"n": 0}
+    real = api_mod.encode_audio
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(api_mod, "encode_audio", counting)
+    c1 = tiny_dia.load_audio(p)
+    c2 = tiny_dia.load_audio(p)
+    assert calls["n"] == 1, "second load should hit the cache"
+    np.testing.assert_array_equal(c1, c2)
+
+    # mutating the returned array must not poison the cache
+    c1[:] = -7
+    np.testing.assert_array_equal(tiny_dia.load_audio(p), c2)
+    assert calls["n"] == 1
+
+    # an edited file (different bytes → size/mtime change) re-encodes
+    tiny_dia.save_audio(p, np.concatenate([wav, wav]), tiny_dia.dac_config.sample_rate)
+    c3 = tiny_dia.load_audio(p)
+    assert calls["n"] == 2
+    assert c3.shape[0] != c2.shape[0]
