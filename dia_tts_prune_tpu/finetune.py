@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     m = p.add_argument_group("Parallelism")
     m.add_argument("--mesh-data", type=int, default=None)
     m.add_argument("--mesh-model", type=int, default=None)
+    m.add_argument("--fsdp", action="store_true",
+                   help="additionally shard parameter/optimizer storage over "
+                        "the data axis (ZeRO-style; needed for full 1.6B "
+                        "fine-tuning — fp32 AdamW state alone is ~12.8 GB)")
     return p
 
 
@@ -128,8 +132,9 @@ def main(argv=None) -> int:
         from .parallel.sharding import make_mesh, shard_params
 
         mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
-        params = shard_params(params, mesh, config=config)
-        print(f"Sharded params over mesh {dict(mesh.shape)}")
+        params = shard_params(params, mesh, config=config, fsdp=args.fsdp)
+        print(f"Sharded params over mesh {dict(mesh.shape)}"
+              + (" (FSDP storage)" if args.fsdp else ""))
 
     trainer = Trainer(params, config, tc, num_training_steps, mesh=mesh)
     if args.resume_from:

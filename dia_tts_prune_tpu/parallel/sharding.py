@@ -102,6 +102,48 @@ def param_specs(config: DiaConfig) -> Params:
     }
 
 
+def fsdp_param_specs(config: DiaConfig, params: Params, mesh: Mesh,
+                     min_elements: int = 1 << 16) -> Params:
+    """ZeRO-style fully-sharded specs: the TP plan plus a ``data``-axis shard
+    on one free dimension of every large leaf.
+
+    The reference has no distributed training at all (SURVEY.md §2c); full
+    fine-tuning of the 1.6B needs ~12.8 GB of fp32 AdamW state, which does
+    not fit one v5e chip next to params + activations.  TPU-native FSDP is
+    purely declarative: storing params (and therefore the optimizer moments,
+    which ``optax`` builds with ``zeros_like`` and so inherit the sharding)
+    split over the ``data`` axis makes GSPMD emit the all-gather-on-use /
+    reduce-scatter-on-grad pattern — there is no hand-written parameter
+    partitioning or gather schedule to maintain.
+
+    Leaf rule: keep the TP axes from ``param_specs``; among the remaining
+    free dimensions pick the largest one divisible by the data-axis size
+    (weight matrices shard on the embedding dim; tiny norm/scale vectors
+    below ``min_elements`` stay replicated — sharding them would cost more
+    in collective latency than the bytes saved).
+    """
+    base = param_specs(config)
+    dsize = mesh.shape[AXIS_DATA]
+
+    def add_data_axis(spec: P, leaf) -> P:
+        shape = tuple(np.shape(leaf))
+        if int(np.prod(shape)) < min_elements or dsize <= 1:
+            return spec
+        dims = list(spec) + [None] * (len(shape) - len(spec))
+        best = None
+        for d, (size, axis) in enumerate(zip(shape, dims)):
+            if axis is None and size % dsize == 0:
+                if best is None or size > shape[best]:
+                    best = d
+        if best is None:
+            return spec
+        dims[best] = AXIS_DATA
+        return P(*dims)
+
+    return jax.tree.map(add_data_axis, base, params,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def self_cache_spec() -> P:
     """KV cache [L, B, T, Nkv, H]: shard the head axis (1 head/chip on v5e-4)."""
     return P(None, None, None, AXIS_MODEL, None)
@@ -149,10 +191,13 @@ def constrain(x, spec: P):
 
 
 def shard_params(params: Params, mesh: Mesh, specs: Params | None = None,
-                 config: DiaConfig | None = None) -> Params:
-    """Commit the parameter pytree to the mesh with the TP layout."""
+                 config: DiaConfig | None = None, fsdp: bool = False) -> Params:
+    """Commit the parameter pytree to the mesh with the TP layout
+    (``fsdp=True`` additionally splits storage over the data axis —
+    see ``fsdp_param_specs``)."""
     if specs is None:
-        specs = param_specs(config)
+        specs = (fsdp_param_specs(config, params, mesh) if fsdp
+                 else param_specs(config))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: isinstance(x, P),

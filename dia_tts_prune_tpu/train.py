@@ -297,7 +297,13 @@ class Trainer:
             self.opt_state = self.optimizer.init(self.params)
 
     def step(self, batch: dict[str, np.ndarray]) -> dict[str, float]:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from .parallel.sharding import shard_batch
+
+            batch = shard_batch({k: np.asarray(v) for k, v in batch.items()},
+                                self.mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.tc.adapter_mode == "lora":
             self.adapter_weights, self.opt_state, loss, gnorm = lora_train_step(
                 self.base_params, self.adapter_weights,

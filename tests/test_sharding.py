@@ -197,3 +197,109 @@ def test_sharded_generation_quant_kv_matches_single_device(monkeypatch):
         out = DiaGenerator(sp_packed, cfg).generate_tokens(
             "[S1] sharded quant kv", max_tokens=40, temperature=0.0)
     np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-style parameter/optimizer-state storage sharding)
+# ---------------------------------------------------------------------------
+
+
+def _fsdp_setup():
+    from dia_tts_prune_tpu.train import build_train_batch
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 4
+    text = rng.integers(1, 200, (B, cfg.data.text_length)).astype(np.int32)
+    text[:, 40:] = 0
+    codes = [rng.integers(0, 1024, (60, 9)).astype(np.int32) for _ in range(B)]
+    batch = build_train_batch(cfg, text, codes)
+    return cfg, params, batch
+
+
+def test_fsdp_specs_shard_large_leaves_only():
+    """Large kernels gain a data-axis shard on a free dim; the TP axes are
+    kept; tiny norm scales stay replicated."""
+    from dia_tts_prune_tpu.parallel.sharding import fsdp_param_specs
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(data=4, model=2)
+    specs = fsdp_param_specs(cfg, params, mesh, min_elements=1 << 12)
+
+    wi = specs["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]
+    assert "data" in wi and "model" in wi  # 2-D sharded like the TP plan + ZeRO
+    q = specs["decoder"]["layers"]["self_attention"]["q_proj"]["kernel"]
+    assert "data" in q and "model" in q
+    # norm scales below the size floor keep the plain TP spec (replicated)
+    scale = specs["decoder"]["layers"]["pre_sa_norm"]["scale"]
+    assert "data" not in scale
+
+
+def test_fsdp_train_step_matches_single_device():
+    """A full AdamW train step under FSDP storage equals the single-device
+    step (loss and updated params), and the optimizer moments are actually
+    stored sharded (per-shard bytes < full bytes)."""
+    from dia_tts_prune_tpu.train import TrainConfig, Trainer
+
+    cfg, params, batch = _fsdp_setup()
+    tc = TrainConfig(learning_rate=3e-3, remat=False, max_grad_norm=1.0)
+
+    ref = Trainer(params, cfg, tc, num_training_steps=10)
+    ref_metrics = ref.step(batch)
+
+    mesh = make_mesh(data=4, model=2)
+    sp = shard_params(params, mesh, config=cfg, fsdp=True)
+    with mesh:
+        tr = Trainer(sp, cfg, tc, num_training_steps=10, mesh=mesh)
+        # the Trainer's private param copy must keep the FSDP storage layout
+        wi = tr.params["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]
+        assert "data" in str(wi.sharding.spec)
+        metrics = tr.step(batch)
+
+    np.testing.assert_allclose(metrics["loss"], ref_metrics["loss"], rtol=1e-5)
+    np.testing.assert_allclose(metrics["grad_norm"], ref_metrics["grad_norm"],
+                               rtol=1e-4)
+
+    # updated params match the single-device update
+    np.testing.assert_allclose(
+        np.asarray(tr.params["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]),
+        np.asarray(ref.params["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]),
+        rtol=2e-3, atol=1e-5,  # cross-device reduce order × AdamW rsqrt
+    )
+
+    # AdamW moments inherit the FSDP sharding: per-shard storage is a strict
+    # fraction of the logical array (ZeRO — this is the memory claim).  Target
+    # the wi_fused moment, whose spec the test above proves is 2-axis sharded.
+    from jax.tree_util import tree_flatten_with_path
+
+    mu = None
+    for path, leaf in tree_flatten_with_path(tr.opt_state)[0]:
+        keys = [getattr(p, "key", None) for p in path]
+        if "wi_fused" in keys and hasattr(leaf, "sharding"):
+            mu = leaf
+            break
+    assert mu is not None
+    assert "data" in str(mu.sharding.spec)
+    shard_elems = mu.addressable_shards[0].data.size
+    assert shard_elems * 8 == mu.size  # split over both mesh axes (4×2)
+
+
+def test_fsdp_second_step_stays_consistent():
+    """Two FSDP steps keep matching the single-device trajectory (the donated
+    sharded buffers and NaN-guard selects survive round trips)."""
+    from dia_tts_prune_tpu.train import TrainConfig, Trainer
+
+    cfg, params, batch = _fsdp_setup()
+    tc = TrainConfig(learning_rate=3e-3, remat=False, max_grad_norm=1.0)
+
+    ref = Trainer(params, cfg, tc, num_training_steps=10)
+    mesh = make_mesh(data=4, model=2)
+    sp = shard_params(params, mesh, config=cfg, fsdp=True)
+    with mesh:
+        tr = Trainer(sp, cfg, tc, num_training_steps=10, mesh=mesh)
+        for _ in range(2):
+            m_ref = ref.step(batch)
+            m_fsdp = tr.step(batch)
+        np.testing.assert_allclose(m_fsdp["loss"], m_ref["loss"], rtol=1e-5)
