@@ -86,6 +86,13 @@ class CBState(NamedTuple):
     temperature: jax.Array  # f32 [N]
     top_p: jax.Array  # f32 [N]
     greedy: jax.Array  # bool [N]
+    # Perf carries (mirroring DecodeLoopState): the segment body never READS
+    # the tokens buffer, so per-step writes stay off the serial critical path.
+    prev_tok: jax.Array  # int32 [N, C] == tokens[i, dec_step_i] (next input;
+    # for a stopped lane this is also the value its frozen write re-commits)
+    bos_rows: jax.Array  # int32 [N, max_delay, C] rolling template window
+    virgin: jax.Array  # bool [N] — True while tokens[i, dec_step_i+1] has
+    # never been written by the loop (its content is still the template)
 
 
 def cb_init(
@@ -117,6 +124,9 @@ def cb_init(
         temperature=jnp.zeros((N,), jnp.float32),
         top_p=jnp.ones((N,), jnp.float32),
         greedy=jnp.ones((N,), jnp.bool_),
+        prev_tok=jnp.full((N, d.channels), -1, jnp.int32),
+        bos_rows=jnp.full((N, d.max_delay, d.channels), -1, jnp.int32),
+        virgin=jnp.ones((N,), jnp.bool_),
     )
     dec = m.decoder
     S = int(cross_window)
@@ -148,7 +158,8 @@ def _constrain_cache(cache, spec_fn):
     return KVCache(k=constrain(cache.k, spec), v=constrain(cache.v, spec))
 
 
-@partial(jax.jit, donate_argnames=("state", "cross_cache", "cross_mask"))
+@partial(jax.jit, donate_argnames=("state", "cross_cache", "cross_mask"),
+         static_argnames=("max_delay",))
 def swap_in(
     state: CBState,
     cross_cache,
@@ -187,6 +198,12 @@ def swap_in(
                                             (0, N + s) + zeros)
 
     prefill_step = int_row[0]
+    # loop perf carries at the lane's entry point (see _loop_entry_carries,
+    # generate.py): the last prefill row and the BOS-window template rows
+    lane_prev = jax.lax.dynamic_slice(
+        ss_tokens, (prefill_step - 1, 0), (1, ss_tokens.shape[1]))[0]
+    lane_bos = jax.lax.dynamic_slice(
+        ss_tokens, (prefill_step, 0), (max_delay, ss_tokens.shape[1]))
     return (
         CBState(
             tokens=put_row(state.tokens, ss_tokens, s),
@@ -204,6 +221,9 @@ def swap_in(
             temperature=put_row(state.temperature, float_row[1], s),
             top_p=put_row(state.top_p, float_row[2], s),
             greedy=put_row(state.greedy, greedy, s),
+            prev_tok=put_row(state.prev_tok, lane_prev, s),
+            bos_rows=put_row(state.bos_rows, lane_bos, s),
+            virgin=put_row(state.virgin, jnp.asarray(True), s),
         ),
         _constrain_cache(
             jax.tree.map(put_pair, cross_cache, ss_cross), cross_cache_spec),
@@ -256,9 +276,7 @@ def cb_segment(
     def body(carry):
         s, i = carry
         t = s.dec_step + 1  # [N] lane-local step
-        prev = jax.vmap(
-            lambda row, ti: jax.lax.dynamic_slice(row, (ti - 1, 0), (1, C))[0]
-        )(s.tokens, t)  # [N, C]
+        prev = s.prev_tok  # [N, C] — carried, not re-read from the buffer
         tgt = jnp.concatenate([prev, prev], axis=0)[:, None, :]  # [2N, 1, C]
         t2 = jnp.concatenate([t, t], axis=0)  # [2N]
         logits, new_cache = decode_step_scan(
@@ -296,10 +314,17 @@ def cb_segment(
         countdown = jnp.where(active, countdown - 1, countdown)
 
         # --- BOS-window masked write; frozen lanes keep their rows ---
+        # ``row`` == the buffer content at tokens[i, t] WITHOUT reading it:
+        # while the position is virgin it is the template (the rolling
+        # bos_rows window inside the BOS window, -1 beyond it); once written
+        # (a lane frozen at a fixed t re-reads its own last write) it is
+        # exactly prev_tok, because write == prev_tok is re-committed below.
         bos_countdown = jnp.maximum(0, s.bos_countdown - 1)
-        row = jax.vmap(
-            lambda r, ti: jax.lax.dynamic_slice(r, (ti, 0), (1, C))[0]
-        )(s.tokens, t)  # [N, C]
+        row = jnp.where(
+            s.virgin[:, None],
+            jnp.where(s.bos_countdown[:, None] > 0, s.bos_rows[:, 0, :], -1),
+            s.prev_tok,
+        )  # [N, C]
         write = jnp.where((bos_countdown[:, None] > 0) & (row != -1), row, pred)
         write = jnp.where(s.stop[:, None], row, write)
         tokens = jax.vmap(
@@ -313,6 +338,11 @@ def cb_segment(
         countdown = jnp.where(near_max, max_delay, countdown)
 
         frozen = s.stop
+        # a lane advances its read position iff it is live and not stopping
+        # via EOS this step (EOS stop leaves dec_step at t-1; cap stop at t)
+        advancing = (~frozen) & (~stop_now)
+        bos_rows = jnp.where(advancing[:, None, None],
+                             jnp.roll(s.bos_rows, -1, axis=1), s.bos_rows)
         return (
             CBState(
                 tokens=tokens,
@@ -330,6 +360,12 @@ def cb_segment(
                 stop=s.stop | stop_now | hit_cap,
                 cap=s.cap, cfg_scale=s.cfg_scale, temperature=s.temperature,
                 top_p=s.top_p, greedy=s.greedy,
+                # prev_tok == the value at the lane's next read position
+                # tokens[i, dec_step+1-1] for advancing lanes (== write at t),
+                # and == the frozen write value otherwise (write == row there)
+                prev_tok=write,
+                bos_rows=bos_rows,
+                virgin=advancing,
             ),
             i + 1,
         )
@@ -651,15 +687,13 @@ class ContinuousBatcher:
                 if lane is not None and lane.stream_q is not None]
         if not live:
             return
-        stop = np.asarray(self._state.stop)
-        dec_step = np.asarray(self._state.dec_step)
-        tokens = None
+        # one tunnel round trip for all three arrays (remote-attached TPU)
+        stop, dec_step, tokens = jax.device_get(
+            (self._state.stop, self._state.dec_step, self._state.tokens))
         d = self._dia.config.data
         for i, lane in live:
             if bool(stop[i]):
                 continue
-            if tokens is None:
-                tokens = np.asarray(self._state.tokens)  # one transfer
             raw = tokens[i, lane.prefill_step: int(dec_step[i]) + 1]
             n_final = raw.shape[0] - d.max_delay
             if n_final <= lane.emitted:
@@ -670,8 +704,7 @@ class ContinuousBatcher:
 
     def _harvest(self) -> None:
         """Resolve futures for lanes that stopped during the last segment."""
-        stop = np.asarray(self._state.stop)
-        dec_step = np.asarray(self._state.dec_step)
+        stop, dec_step = jax.device_get((self._state.stop, self._state.dec_step))
         done = [i for i, lane in enumerate(self._lanes)
                 if lane is not None and bool(stop[i])]
         if not done:

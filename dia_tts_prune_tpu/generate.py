@@ -193,8 +193,10 @@ def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
 
     def body(s: DecodeLoopState) -> DecodeLoopState:
         t = s.dec_step + 1
-        prev = jax.lax.dynamic_slice(s.tokens, (t - 1, 0), (1, d.channels))  # [1, C]
-        tgt = jnp.broadcast_to(prev[None], (CFG_BATCH, 1, d.channels))
+        # prev token rides the carry (== tokens[t-1]) instead of re-reading
+        # the buffer: keeps the step's input independent of the previous
+        # step's HBM buffer write
+        tgt = jnp.broadcast_to(s.prev_tok[None, None], (CFG_BATCH, 1, d.channels))
         position = jnp.full((CFG_BATCH, 1), t, dtype=jnp.int32)
         logits, new_cache = _decode_step_fn(params)(
             params, config, tgt, position, (t - 1).astype(jnp.int32),
@@ -223,10 +225,15 @@ def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
         countdown = jnp.where(active, countdown - 1, countdown)
 
         # --- BOS-window masked write (reference: dia/model.py:790-792) ---
+        # row == the template content at position t (positions are written at
+        # most once, at iteration t, so the pre-loop content is what the
+        # masked write must preserve).  It rides a tiny rolling carry window
+        # instead of a buffer read, keeping the tokens buffer write-only.
         bos_countdown = jnp.maximum(0, s.bos_countdown - 1)
-        row = jax.lax.dynamic_slice(s.tokens, (t, 0), (1, d.channels))[0]
+        row = s.bos_rows[0]
         write = jnp.where((bos_countdown > 0) & (row != -1), row, pred)
         tokens = jax.lax.dynamic_update_slice(s.tokens, write[None], (t, 0))
+        bos_rows = jnp.roll(s.bos_rows, -1, axis=0)  # rows beyond the window are never read
 
         stop = countdown == 0
 
@@ -240,9 +247,21 @@ def _make_loop_body(params, config, cross_cache, cross_mask, max_tokens,
             tokens=tokens, cache=new_cache, key=key, dec_step=dec_step,
             eos_detected=eos_detected, eos_countdown=countdown,
             bos_countdown=bos_countdown, stop=stop,
+            prev_tok=write, bos_rows=bos_rows,
         )
 
     return body
+
+
+def _loop_entry_carries(config: DiaConfig, tokens_buf: jax.Array, dec_step):
+    """(prev_tok, bos_rows) for a loop entering at ``dec_step`` — the last
+    written row and the template window the BOS-masked write will preserve."""
+    d = config.data
+    prev_tok = jax.lax.dynamic_slice(
+        tokens_buf, (dec_step, 0), (1, d.channels))[0]
+    bos_rows = jax.lax.dynamic_slice(
+        tokens_buf, (dec_step + 1, 0), (d.max_delay, d.channels))
+    return prev_tok, bos_rows
 
 
 def _decode_loop_core(
@@ -269,15 +288,19 @@ def _decode_loop_core(
                            cfg_scale, temperature, top_p, greedy, cfg_filter_top_k,
                            compute_dtype)
 
+    dec0 = prefill_step.astype(jnp.int32) - 1
+    prev_tok, bos_rows = _loop_entry_carries(config, tokens_buf, dec0)
     init = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,
         key=key,
-        dec_step=prefill_step.astype(jnp.int32) - 1,
+        dec_step=dec0,
         eos_detected=jnp.asarray(False),
         eos_countdown=jnp.asarray(-1, jnp.int32),
         bos_countdown=jnp.asarray(config.data.max_delay, jnp.int32),
         stop=jnp.asarray(False),
+        prev_tok=prev_tok,
+        bos_rows=bos_rows,
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens, final.dec_step
@@ -483,6 +506,10 @@ class BatchLoopState(NamedTuple):
     eos_countdown: jax.Array  # int32 [N]
     stopped: jax.Array  # bool [N]
     final_step: jax.Array  # int32 [N]
+    # perf carries (see DecodeLoopState): keep the tokens buffer write-only
+    # inside the loop — no HBM read-after-write between consecutive steps
+    prev_tok: jax.Array  # int32 [N, C] == tokens[:, t]
+    bos_rows: jax.Array  # int32 [N, max_delay, C] rolling template window
 
 
 @partial(
@@ -572,9 +599,7 @@ def generate_fused_batch(
 
     def body(s: BatchLoopState) -> BatchLoopState:
         t = s.t + 1
-        prev = jax.lax.dynamic_slice(
-            s.tokens, (0, t - 1, 0), (N, 1, d.channels)
-        )  # [N, 1, C]
+        prev = s.prev_tok[:, None]  # [N, 1, C] — carried, not re-read from HBM
         tgt = jnp.concatenate([prev, prev], axis=0)  # [2N, 1, C] CFG pair per stream
         position = (t - valid_from2)[:, None]  # [2N, 1] row-local RoPE positions
         logits, new_cache = _decode_step_fn(params, batch=True)(
@@ -611,12 +636,17 @@ def generate_fused_batch(
 
         # BOS-window masked write + freeze finished streams.  All prompts end
         # at row start-1, so the write-protect window (reference quirk Q8) is
-        # the shared first max_delay-1 steps after start.
-        row = jax.lax.dynamic_slice(s.tokens, (0, t, 0), (N, 1, d.channels))[:, 0]
+        # the shared first max_delay-1 steps after start.  ``row`` is the
+        # buffer's pre-loop content at position t (positions are written at
+        # most once): the rolling template carry inside the first max_delay
+        # steps, -1 (the untouched template fill) beyond it.
+        in_window = (t - start) < max_delay
+        row = jnp.where(in_window, s.bos_rows[:, 0, :], -1)
         bos_window = (t - start) < max_delay - 1
         write = jnp.where(bos_window & (row != -1), row, pred)
         write = jnp.where(s.stopped[:, None], row, write)
         tokens = jax.lax.dynamic_update_slice(s.tokens, write[:, None], (0, t, 0))
+        bos_rows = jnp.roll(s.bos_rows, -1, axis=1)
 
         stop_now = (countdown == 0) & (~s.stopped)
         hit_cap = (t >= caps - 1) & (~s.stopped) & (~stop_now)
@@ -631,6 +661,7 @@ def generate_fused_batch(
             tokens=tokens, cache=new_cache, keys=keys, t=t,
             eos_detected=eos_detected, eos_countdown=countdown,
             stopped=stopped, final_step=final_step,
+            prev_tok=write, bos_rows=bos_rows,
         )
 
     init = BatchLoopState(
@@ -642,6 +673,8 @@ def generate_fused_batch(
         eos_countdown=jnp.full((N,), -1, jnp.int32),
         stopped=jnp.zeros((N,), jnp.bool_),
         final_step=jnp.full((N,), start - 1, jnp.int32),
+        prev_tok=tokens_buf[:, start - 1, :],
+        bos_rows=tokens_buf[:, start : start + max_delay, :],
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens, final.final_step
@@ -685,15 +718,19 @@ def prepare_stream(
             cross_cache, cross_mask, padding_mask, self_cache, compute_dtype,
         )
     cross_cache = _quantize_cross(cross_cache, quant)
+    dec0 = prefill_step.astype(jnp.int32) - 1
+    prev_tok, bos_rows = _loop_entry_carries(config, tokens_buf, dec0)
     state = DecodeLoopState(
         tokens=tokens_buf,
         cache=self_cache,
         key=jax.random.PRNGKey(int_args[1]),
-        dec_step=prefill_step.astype(jnp.int32) - 1,
+        dec_step=dec0,
         eos_detected=jnp.asarray(False),
         eos_countdown=jnp.asarray(-1, jnp.int32),
         bos_countdown=jnp.asarray(config.data.max_delay, jnp.int32),
         stop=jnp.asarray(False),
+        prev_tok=prev_tok,
+        bos_rows=bos_rows,
     )
     return state, cross_cache, cross_mask
 
@@ -834,7 +871,10 @@ class DiaGenerator:
                        else _cache_len_for(cache_len, window or 0, cfg)),
             kv_quant=_kv_cache_quant(self.params),
         )
-        tokens = np.asarray(tokens)
+        # one host fetch for both outputs: on remote-attached TPUs every
+        # device->host read pays a tunnel round trip, and the two reads were
+        # serialized (tokens, then the scalar)
+        tokens, final_step = jax.device_get((tokens, final_step))
         final_step = int(final_step)
         if verbose:
             dt = time.perf_counter() - t0
@@ -917,9 +957,11 @@ class DiaGenerator:
                 greedy=greedy, cfg_filter_top_k=cfg_filter_top_k,
                 compute_dtype_name=self.compute_dtype,
             )
-            dec_step = int(state.dec_step)
-            stop = bool(state.stop)
-            raw = np.asarray(state.tokens)[prefill_step : dec_step + 1]
+            # one tunnel round trip per segment instead of three serialized ones
+            dec_step, stop, host_tokens = jax.device_get(
+                (state.dec_step, state.stop, state.tokens))
+            dec_step, stop = int(dec_step), bool(stop)
+            raw = host_tokens[prefill_step : dec_step + 1]
             n_final = max(0, raw.shape[0] - d.max_delay)
             if n_final > emitted:
                 reverted = revert_audio_delay_np(
@@ -1026,8 +1068,8 @@ class DiaGenerator:
             cache_len=_cache_len_for(cache_len or int(caps.max()), start, cfg),
             kv_quant=_kv_cache_quant(self.params, batch=True),
         )
-        tokens = np.asarray(tokens)
-        final_steps = np.asarray(final_steps)
+        # single tunnel round trip for both outputs (remote-attached TPU)
+        tokens, final_steps = jax.device_get((tokens, final_steps))
 
         outs = []
         for i in range(N):

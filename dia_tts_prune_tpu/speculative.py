@@ -46,6 +46,7 @@ from .generate import (
     _cache_len_for,
     _cross_window_for,
     _dtype_of,
+    _loop_entry_carries,
     _resolve_seed,
     decode_segment,
     prepare_stream,
@@ -227,11 +228,18 @@ def spec_window(
     write = jnp.where(take_extra, final[j], cur)
     tokens = jax.lax.dynamic_update_slice(tokens, write[None], (row, 0))
 
+    # re-derive the loop perf carries at the new position: prev_tok is the
+    # last accepted row, bos_rows the buffer content the resumed loop's
+    # BOS-masked write would have read (stale draft rows included — identical
+    # to what a buffer-reading loop would see, so parity is preserved)
+    dec_new = (t0 - 1 + advance).astype(jnp.int32)
+    prev_tok, bos_rows = _loop_entry_carries(config, tokens, dec_new)
     new_state = DecodeLoopState(
         tokens=tokens, cache=cache, key=key,
-        dec_step=(t0 - 1 + advance).astype(jnp.int32),
+        dec_step=dec_new,
         eos_detected=state.eos_detected, eos_countdown=state.eos_countdown,
         bos_countdown=state.bos_countdown, stop=state.stop,
+        prev_tok=prev_tok, bos_rows=bos_rows,
     )
     return SpecWindowResult(
         state=new_state, advance=advance,

@@ -61,6 +61,13 @@ class DecodeLoopState(NamedTuple):
     eos_countdown: jax.Array  # int32 scalar (-1 = inactive)
     bos_countdown: jax.Array  # int32 scalar
     stop: jax.Array  # bool scalar
+    # Perf carries: the loop body never READS the tokens buffer (write-only),
+    # so each step's dynamic_update_slice stays off the serial critical path
+    # (no HBM read-after-write between consecutive steps).
+    prev_tok: jax.Array  # int32 [C] == tokens[dec_step] (next step's input)
+    bos_rows: jax.Array  # int32 [max_delay, C] rolling window of the prompt
+    # template at rows [dec_step+1, dec_step+1+max_delay) — feeds the
+    # BOS-window masked write while bos_countdown > 0
 
 
 def prepare_audio_prompt(
