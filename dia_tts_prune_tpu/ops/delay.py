@@ -80,6 +80,26 @@ def revert_audio_delay(
     return jnp.where(t_idx >= T, pad, gathered)
 
 
+def apply_audio_delay_np(audio_BxTxC, pad_value: int, bos_value: int, delay_pattern):
+    """Host (numpy) apply — identical semantics to ``apply_audio_delay``.
+
+    Prompt templates are tiny ([P+max_delay, C] ints) and built once per
+    request on the host; the jitted gather would cost a device round trip
+    (~25 ms through the remote-TPU tunnel) plus a fresh XLA compile for
+    every distinct prompt length (~2 s each)."""
+    import numpy as np
+
+    audio = np.asarray(audio_BxTxC)
+    B, T, C = audio.shape
+    delay = np.asarray(delay_pattern, dtype=np.int32)
+    t_idx = np.arange(T, dtype=np.int32)[None, :, None] - delay[None, None, :]
+    t_clamped = np.clip(t_idx, 0, T - 1)
+    gathered = np.take_along_axis(audio, np.broadcast_to(t_clamped, (B, T, C)), axis=1)
+    bos = np.asarray(bos_value, audio.dtype)
+    pad = np.asarray(pad_value, audio.dtype)
+    return np.where(t_idx < 0, bos, np.where(t_idx >= T, pad, gathered))
+
+
 def revert_audio_delay_np(audio_BxTxC, pad_value: int, delay_pattern, T: int | None = None):
     """Host (numpy) revert — identical semantics to ``revert_audio_delay``.
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from .config import DiaConfig
 from .models.dia import KVCache
-from .ops.delay import apply_audio_delay
+from .ops.delay import apply_audio_delay_np
 from .ops.masks import create_attn_mask
 
 
@@ -90,10 +90,10 @@ def prepare_audio_prompt(
         parts.append(codes)
     parts.append(np.full((d.max_delay, C), d.audio_pad_value, dtype=np.int32))
     prefill_padded = np.concatenate(parts, axis=0)
-    delayed = apply_audio_delay(
-        jnp.asarray(prefill_padded)[None],
+    delayed = apply_audio_delay_np(
+        prefill_padded[None],
         d.audio_pad_value,
         d.audio_bos_value,
         tuple(d.delay_pattern),
     )[0]
-    return np.asarray(delayed), prefill_step
+    return delayed, prefill_step

@@ -4,7 +4,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dia_tts_prune_tpu.ops.delay import apply_audio_delay, revert_audio_delay
+from dia_tts_prune_tpu.ops.delay import (
+    apply_audio_delay,
+    apply_audio_delay_np,
+    revert_audio_delay,
+)
 
 from .ref_loader import load_reference, reference_available
 
@@ -23,6 +27,17 @@ def test_apply_delay_basic():
     np.testing.assert_array_equal(out[0, 1:, 1], x[0, :-1, 1])
     # channel 2: BOS at t<2
     assert (out[0, :2, 2] == 1026).all()
+
+
+def test_apply_np_matches_jax():
+    """Host apply (used by prepare_audio_prompt — no device round trip)
+    must be bit-identical to the jitted gather."""
+    rng = np.random.default_rng(1)
+    for T in (16, 21, 64):
+        x = rng.integers(0, 1024, (2, T, 9)).astype(np.int32)
+        a = np.asarray(apply_audio_delay(jnp.asarray(x), 1025, 1026, DELAY))
+        b = apply_audio_delay_np(x, 1025, 1026, DELAY)
+        np.testing.assert_array_equal(a, b)
 
 
 def test_revert_inverts_apply():

@@ -66,12 +66,69 @@ def main():
         q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int4)
         return q, s
 
+    def pack_nibble(w):
+        # int4 stored as int8 BYTES (no S4 dtype — dodges the axon
+        # device_put bug): byte[k2, n] = (q[2k2+1] << 4) | (q[2k2] & 0xF).
+        # Unpack needs NO interleave when the dot is split by row parity:
+        #   y = x[0::2] @ sext(b << 4 >> 4) + x[1::2] @ (b >> 4)
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 7.0
+        q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int8)
+        lo = q[:, 0::2, :]
+        hi = q[:, 1::2, :]
+        b = ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
+        return b, s
+
+    def pack_nibble_grouped(w):
+        # per-[G,N]-group scales on the ORIGINAL K axis (G even, so a
+        # group's even/odd rows are contiguous in the packed array)
+        Lw, K, N = w.shape
+        wg = w.reshape(Lw, K // G, G, N)
+        s = jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0  # [L, K/G, 1, N]
+        q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8).reshape(Lw, K, N)
+        b = ((q[:, 1::2, :] << 4) | (q[:, 0::2, :] & 0x0F)).astype(jnp.int8)
+        return b, s
+
+    def chain_nibble(x, packs):
+        def layer(x, ws):
+            ba, sa, bb, sb = ws  # ba [D/2, F] int8 bytes; sa [1, F]
+            wl = ((ba << 4) >> 4).astype(jnp.bfloat16)
+            wh = (ba >> 4).astype(jnp.bfloat16)
+            h = (x[:, 0::2] @ wl + x[:, 1::2] @ wh) * sa[0].astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0)
+            wl2 = ((bb << 4) >> 4).astype(jnp.bfloat16)
+            wh2 = (bb >> 4).astype(jnp.bfloat16)
+            y = (h[:, 0::2] @ wl2 + h[:, 1::2] @ wh2) * sb[0].astype(jnp.bfloat16)
+            return y.astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
+    def chain_nibble_grouped(x, packs):
+        def layer(x, ws):
+            ba, sa, bb, sb = ws  # ba [K/2, N] bytes; sa [K/G, 1, N]
+            def gemv(xv, b, s):
+                wl = ((b << 4) >> 4).astype(jnp.bfloat16)
+                wh = (b >> 4).astype(jnp.bfloat16)
+                ng = s.shape[0]
+                xe = xv[:, 0::2].reshape(xv.shape[0], ng, G // 2)
+                xo = xv[:, 1::2].reshape(xv.shape[0], ng, G // 2)
+                part = jnp.einsum("bkg,kgn->bkn", xe, wl.reshape(ng, G // 2, -1))
+                part += jnp.einsum("bkg,kgn->bkn", xo, wh.reshape(ng, G // 2, -1))
+                return jnp.einsum("bkn,kn->bn", part, s[:, 0].astype(jnp.bfloat16))
+            h = jnp.maximum(gemv(x, ba, sa), 0)
+            return gemv(h, bb, sb).astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
     q1_8, s1_8 = pack_int8(w1)
     q2_8, s2_8 = pack_int8(w2)
     q1_4, s1_4 = pack_int4(w1)
     q2_4, s2_4 = pack_int4(w2)
     q1_4g, s1_4g = pack_int4_grouped(w1)
     q2_4g, s2_4g = pack_int4_grouped(w2)
+    b1, sb1 = pack_nibble(w1)
+    b2, sb2 = pack_nibble(w2)
+    b1g, sb1g = pack_nibble_grouped(w1)
+    b2g, sb2g = pack_nibble_grouped(w2)
     w1_bf = w1.astype(jnp.bfloat16)
     w2_bf = w2.astype(jnp.bfloat16)
 
@@ -129,6 +186,9 @@ def main():
     out["int4"] = round(bench(chain_q, (q1_4, s1_4, q2_4, s2_4)), 4)
     out["int4_grouped"] = round(
         bench(chain_q_grouped, (q1_4g, s1_4g, q2_4g, s2_4g)), 4)
+    out["nibble"] = round(bench(chain_nibble, (b1, sb1, b2, sb2)), 4)
+    out["nibble_grouped"] = round(
+        bench(chain_nibble_grouped, (b1g, sb1g, b2g, sb2g)), 4)
     # quality proxy: relative RMS error of the packed formats
     for name, (q, s, grouped) in {
         "int8_rms": (q1_8, s1_8, False),
