@@ -236,10 +236,11 @@ def main(argv=None):
         )
 
         if args.int4 == "full":
-            qparams = quantize_params_int4_packed(params)
+            qparams = quantize_params_int4_packed(params, nibble=True)
         else:  # hybrid: int4 MLP (57% of layer bytes) + int8 rest
             qparams = quantize_params_int8_packed(
-                quantize_params_int4_packed(params, mlp_only=True), fused=False)
+                quantize_params_int4_packed(params, mlp_only=True, nibble=True),
+                fused=False)
         del params
         gen = DiaGenerator(qparams, config, args.dtype)
         results.append(measure(

@@ -438,7 +438,8 @@ class Dia:
         self.params = quantize_params_int8_packed(self.params)
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
 
-    def quantize_int4(self, group: int | None = 128, mlp_only: bool = False) -> None:
+    def quantize_int4(self, group: int | None = 128, mlp_only: bool = False,
+                      nibble: bool = True) -> None:
         """Swap decoder dense kernels to packed int4 (grouped scales).
 
         Quarter-byte weight streaming on the bandwidth-bound decode loop —
@@ -449,11 +450,13 @@ class Dia:
         at int8 — the hybrid config: MLP weights are ~57% of per-layer bytes
         and the least quantization-sensitive population.  Quality/perf
         numbers: docs/PERF.md; quality proxy tool: tools/int8_quality.py
-        ``--mode int4|hybrid``."""
+        ``--mode int4|hybrid``.  ``nibble`` (default) stores two int4 rows
+        per int8 byte — identical numerics, no ``S4``-dtype array (required
+        on remote-attached TPUs whose int4 transfer is broken)."""
         from .ops.quant import quantize_params_int4_packed, quantize_params_int8_packed
 
         self.params = quantize_params_int4_packed(
-            self.params, group=group, mlp_only=mlp_only)
+            self.params, group=group, mlp_only=mlp_only, nibble=nibble)
         if mlp_only:
             self.params = quantize_params_int8_packed(self.params, fused=False)
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)

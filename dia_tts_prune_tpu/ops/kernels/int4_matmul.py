@@ -53,6 +53,42 @@ def int4_matmul_grouped(x, w_q, scale):
     return y.astype(x.dtype)
 
 
+def int4_matmul_nibble(x, w_b, scale):
+    """Nibble layout, per-column scales: x [B, K] @ bytes int8 [K//2, N].
+
+    Byte k2 packs rows (2k2 → low nibble, 2k2+1 → high).  Splitting the dot
+    by row parity needs NO interleave: unpack is two arithmetic shifts
+    (sign-extending) that XLA fuses into the two dots' operand reads —
+    int4 HBM bytes, bf16 MXU math.
+
+      y = x[:, 0::2] @ sext(b << 4 >> 4)  +  x[:, 1::2] @ (b >> 4)
+    """
+    wl = ((w_b << 4) >> 4).astype(x.dtype)
+    wh = (w_b >> 4).astype(x.dtype)
+    y = jnp.dot(x[:, 0::2], wl, preferred_element_type=jnp.float32)
+    y = y + jnp.dot(x[:, 1::2], wh, preferred_element_type=jnp.float32)
+    return (y * scale[None, :]).astype(x.dtype)
+
+
+def int4_matmul_nibble_grouped(x, w_b, scale):
+    """Nibble layout, grouped scales: bytes [K//2, N], scale [K//G, N].
+
+    Group g covers ORIGINAL rows [gG, (g+1)G) — bytes [gG/2, (g+1)G/2) —
+    so the parity-split partials stay group-aligned (G even by
+    construction, ops/quant.py)."""
+    n_groups, N = scale.shape
+    K2 = w_b.shape[0]
+    gh = K2 // n_groups  # = G // 2
+    wl = ((w_b << 4) >> 4).astype(x.dtype).reshape(n_groups, gh, N)
+    wh = (w_b >> 4).astype(x.dtype).reshape(n_groups, gh, N)
+    xe = x[:, 0::2].reshape(x.shape[0], n_groups, gh)
+    xo = x[:, 1::2].reshape(x.shape[0], n_groups, gh)
+    part = jnp.einsum("bkg,kgn->bkn", xe, wl, preferred_element_type=jnp.float32)
+    part = part + jnp.einsum("bkg,kgn->bkn", xo, wh, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def int4_matmul_reference(x, w_q, scale):
     """Dequantize-then-dot (numerics reference for both layouts)."""
     if w_q.ndim == 3:

@@ -83,9 +83,19 @@ def _dense_general_q4(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
     K = _math.prod(qk.in_shape)
     lead = x.shape[: x.ndim - n_in]
     x2 = x.reshape(-1, K)
-    from .kernels.int4_matmul import int4_matmul_grouped, int4_matmul_upcast
+    from .kernels.int4_matmul import (
+        int4_matmul_grouped,
+        int4_matmul_nibble,
+        int4_matmul_nibble_grouped,
+        int4_matmul_upcast,
+    )
 
-    if qk.group is None:
+    if qk.nibble:
+        if qk.group is None:
+            y = int4_matmul_nibble(x2, qk.values, qk.scale.reshape(-1))
+        else:
+            y = int4_matmul_nibble_grouped(x2, qk.values, qk.scale)
+    elif qk.group is None:
         y = int4_matmul_upcast(x2, qk.values, qk.scale.reshape(-1))
     else:
         y = int4_matmul_grouped(x2, qk.values, qk.scale)

@@ -187,19 +187,29 @@ class Quantized4Kernel:
     scale: f32 — ``[N]`` plain / ``[K//G, N]`` grouped (``[L, ...]`` stacked).
     in_shape/out_shape: logical kernel dims (static aux data, like
     ``QuantizedKernel``).  group: the contraction-group size or None.
+
+    nibble: values are int8 BYTES ``[K//2, N]`` holding two int4 rows each
+    (byte k2 = row 2k2 in the low nibble, row 2k2+1 in the high nibble,
+    two's complement).  No ``S4``-dtype array ever exists — required on
+    backends whose int4 device transfer is broken (axon) — and the
+    contraction splits by row parity so unpack is two arithmetic shifts
+    fused into the dot operand reads (ops/kernels/int4_matmul.py).
+    Grouped nibble keeps values FLAT ``[K//2, N]`` with scale ``[K//G, N]``.
     """
 
-    __slots__ = ("values", "scale", "in_shape", "out_shape", "group")
+    __slots__ = ("values", "scale", "in_shape", "out_shape", "group", "nibble")
 
-    def __init__(self, values, scale, in_shape, out_shape, group):
+    def __init__(self, values, scale, in_shape, out_shape, group, nibble=False):
         self.values = values
         self.scale = scale
         self.in_shape = tuple(in_shape)
         self.out_shape = tuple(out_shape)
         self.group = group
+        self.nibble = bool(nibble)
 
     def tree_flatten(self):
-        return (self.values, self.scale), (self.in_shape, self.out_shape, self.group)
+        return (self.values, self.scale), (
+            self.in_shape, self.out_shape, self.group, self.nibble)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -207,12 +217,20 @@ class Quantized4Kernel:
 
     def __repr__(self):
         return (f"Quantized4Kernel(values={getattr(self.values, 'shape', None)}, "
-                f"group={self.group}, in_shape={self.in_shape}, "
-                f"out_shape={self.out_shape})")
+                f"group={self.group}, nibble={self.nibble}, "
+                f"in_shape={self.in_shape}, out_shape={self.out_shape})")
+
+
+def _pack_nibble_rows(q: jax.Array) -> jax.Array:
+    """int8 rows ∈ [-7, 7] ``[*, K, N]`` → bytes ``[*, K//2, N]``."""
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
 
 
 def quantize_int4(
-    w: jax.Array, n_in: int = 1, stacked: bool = False, group: int | None = 128
+    w: jax.Array, n_in: int = 1, stacked: bool = False, group: int | None = 128,
+    nibble: bool = False,
 ) -> Quantized4Kernel:
     """Symmetric int4: q = round(w / s) ∈ [-7, 7].
 
@@ -220,6 +238,11 @@ def quantize_int4(
     column (the quality-preserving layout at 4 bits: error stays local to a
     128-row group).  ``group=None`` uses one scale per column, the same
     granularity as the int8 path.  K must divide by ``group``.
+
+    ``nibble`` — store the int4 values two-per-int8-byte (``[K//2, N]``)
+    instead of an ``S4``-dtype array; identical numerics, works on backends
+    with broken int4 transfer, and the XLA contraction streams half the int8
+    bytes (see Quantized4Kernel).  Requires even K (and even ``group``).
     """
     lead = w.shape[:1] if stacked else ()
     in_shape = w.shape[len(lead): len(lead) + n_in]
@@ -227,28 +250,52 @@ def quantize_int4(
     K = math.prod(in_shape)
     N = math.prod(out_shape)
     w2 = w.astype(jnp.float32).reshape(*lead, K, N)
+    if nibble and K % 2:
+        nibble = False  # odd contraction (tiny/pruned shapes): S4 fallback
+    if group is not None:
+        group = min(group, K)
+        if K % group or (nibble and group % 2):
+            group = None  # indivisible: fall back to per-column scales
     if group is None:
         absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)  # [*, 1, N]
         scale = jnp.maximum(absmax, 1e-12) / 7.0
-        q = jnp.clip(jnp.round(w2 / scale), -7, 7).astype(jnp.int4)
-        return Quantized4Kernel(q, scale.reshape(*lead, N), in_shape, out_shape, None)
-    group = min(group, K)
-    if K % group:
-        # indivisible contraction (tiny/pruned shapes): per-column scales
-        absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)
-        scale = jnp.maximum(absmax, 1e-12) / 7.0
-        q = jnp.clip(jnp.round(w2 / scale), -7, 7).astype(jnp.int4)
-        return Quantized4Kernel(q, scale.reshape(*lead, N), in_shape, out_shape, None)
+        q = jnp.clip(jnp.round(w2 / scale), -7, 7)
+        v = _pack_nibble_rows(q.astype(jnp.int8)) if nibble else q.astype(jnp.int4)
+        return Quantized4Kernel(
+            v, scale.reshape(*lead, N), in_shape, out_shape, None, nibble)
     wg = w2.reshape(*lead, K // group, group, N)
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # [*, K//G, 1, N]
     scale = jnp.maximum(absmax, 1e-12) / 7.0
-    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7)
+    if nibble:
+        v = _pack_nibble_rows(q.astype(jnp.int8).reshape(*lead, K, N))
+    else:
+        v = q.astype(jnp.int4)
     return Quantized4Kernel(
-        q, scale.reshape(*lead, K // group, N), in_shape, out_shape, group)
+        v, scale.reshape(*lead, K // group, N), in_shape, out_shape, group, nibble)
+
+
+def unpack_nibble_rows(b: jax.Array) -> jax.Array:
+    """Bytes ``[*, K//2, N]`` → int8 rows ``[*, K, N]`` (sign-extended)."""
+    lo = (b << 4) >> 4
+    hi = b >> 4
+    q = jnp.stack([lo, hi], axis=-2)  # [*, K//2, 2, N]
+    return q.reshape(*b.shape[:-2], 2 * b.shape[-2], b.shape[-1])
 
 
 def dequantize4(qk: Quantized4Kernel, dtype=jnp.float32) -> jax.Array:
     """Reconstruct the kernel at its logical shape."""
+    if qk.nibble:
+        v = unpack_nibble_rows(qk.values).astype(jnp.float32)  # [*, K, N]
+        lead = v.shape[:-2]
+        K, N = v.shape[-2], v.shape[-1]
+        if qk.group is None:
+            w2 = v * qk.scale.reshape(*lead, 1, N)
+        else:
+            vg = v.reshape(*lead, K // qk.group, qk.group, N)
+            s = qk.scale.reshape(*lead, K // qk.group, 1, N)
+            w2 = (vg * s).reshape(*lead, K, N)
+        return w2.reshape(*lead, *qk.in_shape, *qk.out_shape).astype(dtype)
     v = qk.values.astype(jnp.float32)
     if qk.group is None:
         lead = v.shape[:-2]
@@ -265,6 +312,7 @@ def quantize_params_int4_packed(
     scope: str | None = "decoder",
     group: int | None = 128,
     mlp_only: bool = False,
+    nibble: bool = False,
 ) -> Params:
     """Pack dense kernels as Quantized4Kernels (int4 + grouped scales).
 
@@ -281,7 +329,7 @@ def quantize_params_int4_packed(
         if mlp_only and "mlp" not in path:
             return w
         a = _quant_args_for(path)
-        return quantize_int4(w, group=group, **a)
+        return quantize_int4(w, group=group, nibble=nibble, **a)
 
     if scope is not None and scope in params:
         out = dict(params)

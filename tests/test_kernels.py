@@ -166,6 +166,49 @@ def test_int4_quantize_roundtrip(group):
         assert err <= errp + 1e-6, (err, errp)
 
 
+@pytest.mark.parametrize("group", [None, 16])
+def test_int4_nibble_matches_s4(group):
+    """Nibble-packed int4 (two rows per int8 byte, parity-split dots) is
+    bit-identical to the S4 layout: same quantized grid, same dequantized
+    kernel, and the dense_general contraction matches the dequantize-then-dot
+    reference."""
+    from dia_tts_prune_tpu.ops.modules import dense_general
+    from dia_tts_prune_tpu.ops.quant import dequantize4, quantize_int4
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32)) * 0.05
+    qk_s4 = quantize_int4(w, n_in=1, group=group)
+    qk_nb = quantize_int4(w, n_in=1, group=group, nibble=True)
+    assert qk_nb.nibble and qk_nb.values.dtype == jnp.int8
+    assert qk_nb.values.shape == (16, 48)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize4(qk_s4)), np.asarray(dequantize4(qk_nb)))
+    x = jnp.asarray(rng.normal(size=(2, 32)).astype(np.float32))
+    y_nb = dense_general(x, qk_nb, axis=(-1,))
+    y_ref = x @ dequantize4(qk_s4)
+    np.testing.assert_allclose(np.asarray(y_nb), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_nibble_model_generates_and_matches_s4():
+    """A nibble-packed model runs the standard generate path and reproduces
+    the S4-layout trajectory token-for-token (same quantized weights)."""
+    from dia_tts_prune_tpu.config import tiny_test_config
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.models.dia import init_params
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int4_packed
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    out_nb = DiaGenerator(
+        quantize_params_int4_packed(params, group=16, nibble=True), cfg
+    ).generate_tokens("[S1] nibble", max_tokens=40, temperature=0.0)
+    out_s4 = DiaGenerator(
+        quantize_params_int4_packed(params, group=16), cfg
+    ).generate_tokens("[S1] nibble", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out_nb), np.asarray(out_s4))
+
+
 @pytest.mark.parametrize("mode", ["int4", "hybrid"])
 def test_int4_quantized_model_generates(mode):
     """int4-packed (and int4-MLP/int8-rest hybrid) params run the standard
