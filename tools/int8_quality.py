@@ -41,10 +41,11 @@ def _quantize(params, mode: str):
     if mode == "int8":
         return quantize_params_int8_packed(params)
     if mode == "int4":
-        return quantize_params_int4_packed(params)
+        return quantize_params_int4_packed(params, nibble=True)
     if mode == "hybrid":  # int4 MLP + int8 rest
         return quantize_params_int8_packed(
-            quantize_params_int4_packed(params, mlp_only=True), fused=False)
+            quantize_params_int4_packed(params, mlp_only=True, nibble=True),
+            fused=False)
     raise ValueError(f"unknown quant mode {mode}")
 
 
