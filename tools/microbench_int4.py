@@ -139,12 +139,12 @@ def main():
     w1_bf = w1.astype(jnp.bfloat16)
     w2_bf = w2.astype(jnp.bfloat16)
 
-    def chain_bf16(x, _):
+    def chain_bf16(x, packs):
         def layer(x, ws):
             a, b = ws
             h = jnp.maximum(x @ a, 0)
             return (h @ b).astype(x.dtype), None
-        x, _ = jax.lax.scan(layer, x, (w1_bf, w2_bf))
+        x, _ = jax.lax.scan(layer, x, packs)
         return x
 
     def chain_q(x, packs):
@@ -171,18 +171,21 @@ def main():
     x0 = jax.random.normal(key, (2, D), jnp.bfloat16)
 
     def bench(fn, packs):
+        # packs MUST be jit arguments, not a closure: closed-over arrays
+        # embed in the HLO as constants and the remote-compile request body
+        # blows past the tunnel's length limit (HTTP 413)
         @jax.jit
-        def run(x, n):
+        def run(x, n, packs):
             return jax.lax.fori_loop(0, n, lambda i, x: fn(x * 0.5, packs), x)
 
         lo, hi = args.iters
         ts = {}
         for n in (lo, hi):
-            jax.block_until_ready(run(x0, n))
+            jax.block_until_ready(run(x0, n, packs))
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(x0, n))
+                jax.block_until_ready(run(x0, n, packs))
                 best = min(best, time.perf_counter() - t0)
             ts[n] = best
         return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
@@ -196,7 +199,7 @@ def main():
         "nibble_grouped": lambda: bench(
             chain_nibble_grouped, (b1g, sb1g, b2g, sb2g)),
         "int8": lambda: bench(chain_q, (q1_8, s1_8, q2_8, s2_8)),
-        "bf16": lambda: bench(chain_bf16, None),
+        "bf16": lambda: bench(chain_bf16, (w1_bf, w2_bf)),
         "int4": lambda: bench(chain_q, (q1_4, s1_4, q2_4, s2_4)),
         "int4_grouped": lambda: bench(
             chain_q_grouped, (q1_4g, s1_4g, q2_4g, s2_4g)),
