@@ -181,11 +181,14 @@ def main():
         lo, hi = args.iters
         ts = {}
         for n in (lo, hi):
-            jax.block_until_ready(run(x0, n, packs))
+            # device_get, NOT block_until_ready: on the remote axon backend
+            # block_until_ready returns at enqueue time — only a host fetch
+            # observes execution completion
+            jax.device_get(run(x0, n, packs))
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(x0, n, packs))
+                jax.device_get(run(x0, n, packs))
                 best = min(best, time.perf_counter() - t0)
             ts[n] = best
         return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
