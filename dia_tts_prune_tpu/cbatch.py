@@ -680,16 +680,13 @@ class ContinuousBatcher:
             raw.shape[0])[0][: max(0, n_final)]
         return np.where((reverted < 0) | (reverted > 1023), 0, reverted)
 
-    def _emit_streams(self) -> None:
+    def _emit_streams(self, stop, dec_step, tokens) -> None:
         """Push newly finalized frames to live streaming lanes (stopped lanes
         flush their tail in ``_harvest``)."""
         live = [(i, lane) for i, lane in enumerate(self._lanes)
                 if lane is not None and lane.stream_q is not None]
         if not live:
             return
-        # one tunnel round trip for all three arrays (remote-attached TPU)
-        stop, dec_step, tokens = jax.device_get(
-            (self._state.stop, self._state.dec_step, self._state.tokens))
         d = self._dia.config.data
         for i, lane in live:
             if bool(stop[i]):
@@ -702,14 +699,12 @@ class ContinuousBatcher:
             lane.stream_q.put(chunk.astype(np.int32))
             lane.emitted = n_final
 
-    def _harvest(self) -> None:
+    def _harvest(self, stop, dec_step, tokens) -> None:
         """Resolve futures for lanes that stopped during the last segment."""
-        stop, dec_step = jax.device_get((self._state.stop, self._state.dec_step))
         done = [i for i, lane in enumerate(self._lanes)
                 if lane is not None and bool(stop[i])]
         if not done:
             return
-        tokens = np.asarray(self._state.tokens)  # one transfer for all lanes
         d = self._dia.config.data
         for i in done:
             lane = self._lanes[i]
@@ -795,5 +790,12 @@ class ContinuousBatcher:
                     self._dia.params, cfg, self._state, self._cross, self._mask,
                     seg, self.cfg_filter_top_k, self._dia.compute_dtype)
                 self.stats["segments"] += 1
-                self._emit_streams()
-                self._harvest()
+                # ONE device->host fetch per segment: every read pays a
+                # tunnel round trip (~25 ms) on the remote-attached TPU —
+                # a large fraction of a 64-step segment's ~150 ms compute.
+                # The tokens buffer itself is small (N x 108 KB); the fetch
+                # cost is the round trip, not the bytes.
+                stop, dec_step, tokens = jax.device_get(
+                    (self._state.stop, self._state.dec_step, self._state.tokens))
+                self._emit_streams(stop, dec_step, tokens)
+                self._harvest(stop, dec_step, tokens)

@@ -77,7 +77,7 @@ class FusedPack(NamedTuple):
     wu: jax.Array     # s8 [L, D, F] | [L, D//2, F] nibble-int4 (up)
     su: jax.Array     # f32 [L, 1, F] | [L, 2, F]
     wm: jax.Array     # s8 [L, F, D] | [L, F//2, D] nibble-int4, tile-paired
-    sm: jax.Array     # f32 [L, 1, D] | [L, 2*MT, D]
+    sm: jax.Array     # f32 [L, 1, D] | [L, MT, 2, D] nibble-int4
     jq: jax.Array     # bf16 [NqH, NqH] RoPE half-swap permutation (also cq)
     jk: jax.Array     # bf16 [NkvH, NkvH]
 
@@ -150,8 +150,10 @@ def _q4_nibble(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _q4_nibble_tiled(w2: jax.Array, tiles: int) -> tuple[jax.Array, jax.Array]:
     """Nibble-pack [L, K, N] where K is consumed in ``tiles`` kernel K-tiles:
     rows are paired WITHIN each tile (local row r ↔ r + tile/2) so a packed
-    K-tile block still matches its activation tile.  Scales [L, 2*tiles, N]
-    (lo, hi per tile).  Per-layer mapped — see _q4_nibble."""
+    K-tile block still matches its activation tile.  Scales [L, tiles, 2, N]
+    (lo, hi per tile; tiles is a SEPARATE axis so the kernel's per-tile block
+    (1, 1, 2, N) satisfies the Mosaic last-two-dims rule).  Per-layer mapped
+    — see _q4_nibble."""
     L, K, N = w2.shape
     tile = K // tiles
 
@@ -162,7 +164,7 @@ def _q4_nibble_tiled(w2: jax.Array, tiles: int) -> tuple[jax.Array, jax.Array]:
         q = jnp.clip(jnp.round(wt / scale), -7, 7).astype(jnp.int32)
         packed = ((q[:, 1] << 4) | (q[:, 0] & 0xF)).astype(jnp.int8)
         return (packed.reshape(K // 2, N),
-                scale[:, :, 0, :].reshape(2 * tiles, N).astype(jnp.float32))
+                scale[:, :, 0, :].astype(jnp.float32))  # [tiles, 2, N]
 
     return jax.lax.map(one, w2)
 
@@ -386,7 +388,7 @@ def fused_step_reference(
         F = wg.shape[-1]
         acc_m = jnp.zeros((B, D), jnp.float32)
         if pack.mlp_int4:
-            tiles = sm.shape[0] // 2
+            tiles = sm.shape[0]
             tile = F // tiles
             xl, xh = xn[:, : D // 2], xn[:, D // 2:]
             for t in range(tiles):
@@ -398,8 +400,8 @@ def fused_step_reference(
                 h = (_silu(g) * u).astype(jnp.bfloat16)
                 hl, hh = h[:, : tile // 2], h[:, tile // 2:]
                 mlo, mhi = _unpack4(wm[t * (tile // 2): (t + 1) * (tile // 2), :])
-                acc_m = acc_m + (_dotf(hl, mlo) * sm[2 * t: 2 * t + 1]
-                                 + _dotf(hh, mhi) * sm[2 * t + 1: 2 * t + 2])
+                acc_m = acc_m + (_dotf(hl, mlo) * sm[t, 0:1]
+                                 + _dotf(hh, mhi) * sm[t, 1:2])
         else:
             tile = F // MLP_TILES
             for t in range(MLP_TILES):
@@ -826,8 +828,8 @@ def _kernel(scalars_ref,  # SMEM int32 [1+2B]: (write_slot, pos[B], valid_from[B
             h = (_silu(g) * u).astype(jnp.bfloat16)
             hl, hh = h[:, : tile // 2], h[:, tile // 2:]
             mlo, mhi = _unpack4(wm_ref[0])
-            acc_scr[:] = acc_scr[:] + (_dotf(hl, mlo) * sm_ref[0, 0:1]
-                                       + _dotf(hh, mhi) * sm_ref[0, 1:2])
+            acc_scr[:] = acc_scr[:] + (_dotf(hl, mlo) * sm_ref[0, 0, 0:1]
+                                       + _dotf(hh, mhi) * sm_ref[0, 0, 1:2])
         else:
             g = dot8(xn, wg_ref[0], sg_ref[0])
             u = dot8(xn, wu_ref[0], su_ref[0])
@@ -893,8 +895,8 @@ def fused_decode_step(
     nph = mlp_off + mlp_tiles
     mlp_int4 = pack.mlp_int4
     if mlp_int4:
-        assert pack.sm.shape[1] == 2 * mlp_tiles, (
-            f"int4 pack was nibble-paired for {pack.sm.shape[1] // 2} MLP "
+        assert pack.sm.shape[1] == mlp_tiles and pack.sm.shape[2] == 2, (
+            f"int4 pack was nibble-paired for {pack.sm.shape[1]} MLP "
             f"K-tiles; kernel called with mlp_tiles={mlp_tiles}")
     kv_quant = self_ks is not None
     if kv_quant:
@@ -942,7 +944,12 @@ def fused_decode_step(
             mlp_tiled_in(False), mlp_scale(tile),             # wg, sg
             mlp_tiled_in(False), mlp_scale(tile),             # wu, su
             mlp_tiled_in(True),                               # wm
-            pl.BlockSpec((1, 2, D), lambda l, p, *_: (l, jnp.maximum(p - mlp_off, 0), 0))
+            # sm int4: [L, MT, 2, D] with a (1, 1, 2, D) block — the tile
+            # axis is separate so the last two block dims equal the array's
+            # (Mosaic's divisibility rule rejects a (…, 2, D) block of a
+            # (…, 2·MT, D) array)
+            pl.BlockSpec((1, 1, 2, D),
+                         lambda l, p, *_: (l, jnp.maximum(p - mlp_off, 0), 0, 0))
             if mlp_int4 else per_layer((1, 1, D)),            # sm
             per_layer((1, B, T, Nkv * H)),                    # self k cache (flat)
             per_layer((1, B, T, Nkv * H)),                    # self v cache (flat)

@@ -307,14 +307,17 @@ def test_q4_nibble_roundtrip():
                                atol=np.asarray(scale).max() / 2 + 1e-6)
 
     packed_t, scale_t = _q4_nibble_tiled(w, tiles=2)
-    assert packed_t.shape == (2, 8, 8) and scale_t.shape == (2, 4, 8)
+    # scales carry tiles as a SEPARATE axis ([L, tiles, 2, N]) so the
+    # kernel's per-tile (1, 1, 2, N) block satisfies Mosaic's
+    # last-two-dims rule
+    assert packed_t.shape == (2, 8, 8) and scale_t.shape == (2, 2, 2, 8)
     lo, hi = _unpack4(packed_t)
     # tile t occupies packed rows [t*4, (t+1)*4); lo = local rows 0..4,
     # hi = local rows 4..8 of the original tile
     for t in range(2):
         deq_t = jnp.concatenate(
-            [lo[:, t * 4:(t + 1) * 4].astype(jnp.float32) * scale_t[:, 2 * t: 2 * t + 1],
-             hi[:, t * 4:(t + 1) * 4].astype(jnp.float32) * scale_t[:, 2 * t + 1: 2 * t + 2]],
+            [lo[:, t * 4:(t + 1) * 4].astype(jnp.float32) * scale_t[:, t, 0:1],
+             hi[:, t * 4:(t + 1) * 4].astype(jnp.float32) * scale_t[:, t, 1:2]],
             axis=1)
         np.testing.assert_allclose(np.asarray(deq_t), np.asarray(w[:, t * 8:(t + 1) * 8]),
                                    atol=np.asarray(scale_t).max() / 2 + 1e-6)
