@@ -31,6 +31,12 @@ Design (all static shapes, three compiled functions total):
 Finished lanes keep stepping until harvested (their writes are frozen and
 their cache re-commits are bit-identical no-ops), so the segment never
 recompiles; the host harvests them at segment boundaries and refills.
+
+Admissions are pipelined: while a segment executes on the device, the
+worker speculatively runs host prep + ``prepare_stream`` dispatch for
+queued requests (``_prep_pending``, capped at ``n_slots`` outstanding), so
+their encoder/prefill compute overlaps the running segment and the next
+boundary only pays the row splice.
 """
 
 from __future__ import annotations
@@ -629,8 +635,12 @@ class ContinuousBatcher:
             self._worker.join(timeout=60)
 
     # ------------------------------------------------------------------
-    def _admit(self, slot: int, req: dict) -> None:
-        """Prefill one request on its own CFG pair and splice it into a lane."""
+    def _prepare_request(self, req: dict):
+        """Host prep + conditioning/prefill dispatch for one request — no
+        batch state touched, so it can run while a segment is in flight on
+        the device (`_prep_pending`): the request's encoder + prefill
+        compute lands on the device queue behind the running segment and the
+        admission splice finds its rows already computed."""
         cfg = self._dia.config
         d = cfg.data
         effective_text = build_effective_text(req["text"], req["audio_prompt_text"])
@@ -657,6 +667,44 @@ class ContinuousBatcher:
             cross_window=self.text_window, cache_len=self.cache_len,
             kv_quant=self._quant,
         )
+        return ss_state, ss_cross, ss_mask, int(prefill_step)
+
+    def _prep_pending(self) -> None:
+        """Speculatively prepare queued requests while the just-dispatched
+        segment is still executing: their prefill compute overlaps the
+        segment on the device (it queues behind it), and the host work
+        (tokenization, prompt transform, dispatch — tunnel round trips on a
+        remote-attached TPU) overlaps it on the host.  Outstanding prepped
+        requests are capped at ``n_slots`` to bound the extra device memory
+        (each holds one lane's KV/cross rows).  A request whose prep fails
+        resolves its future with the error and leaves the queue."""
+        with self._cond:
+            n_prepped = sum(1 for r in self._q if "prepped" in r)
+            todo = [r for r in self._q
+                    if "prepped" not in r][: max(0, self.n_slots - n_prepped)]
+        for req in todo:
+            try:
+                req["prepped"] = self._prepare_request(req)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                with self._cond:
+                    try:
+                        self._q.remove(req)
+                    except ValueError:
+                        pass  # cancelled concurrently
+                if not req["future"].cancelled():
+                    req["future"].set_exception(e)
+                if req.get("stream_q") is not None:
+                    req["stream_q"].put(None)
+
+    def _admit(self, slot: int, req: dict) -> None:
+        """Splice one prepared request into lane ``slot`` (prefill happens in
+        `_prepare_request` — already dispatched if `_prep_pending` got to
+        this request while a previous segment was in flight)."""
+        d = self._dia.config.data
+        prepped = req.get("prepped")
+        if prepped is None:
+            prepped = self._prepare_request(req)
+        ss_state, ss_cross, ss_mask, prefill_step = prepped
         self._state, self._cross, self._mask = swap_in(
             self._state, self._cross, self._mask, jnp.asarray(slot, jnp.int32),
             ss_state.tokens, ss_state.cache, ss_cross, ss_mask, ss_state.key,
@@ -680,11 +728,13 @@ class ContinuousBatcher:
             raw.shape[0])[0][: max(0, n_final)]
         return np.where((reverted < 0) | (reverted > 1023), 0, reverted)
 
-    def _emit_streams(self, stop, dec_step, tokens) -> None:
+    def _emit_streams(self, stop, dec_step, tokens, owners) -> None:
         """Push newly finalized frames to live streaming lanes (stopped lanes
-        flush their tail in ``_harvest``)."""
-        live = [(i, lane) for i, lane in enumerate(self._lanes)
-                if lane is not None and lane.stream_q is not None]
+        flush their tail in ``_harvest``).  ``owners`` is the (slot, lane)
+        list captured when the segment was dispatched — a lane swapped out
+        since (cancelled) must not consume another request's rows."""
+        live = [(i, lane) for i, lane in owners
+                if lane is self._lanes[i] and lane.stream_q is not None]
         if not live:
             return
         d = self._dia.config.data
@@ -699,10 +749,14 @@ class ContinuousBatcher:
             lane.stream_q.put(chunk.astype(np.int32))
             lane.emitted = n_final
 
-    def _harvest(self, stop, dec_step, tokens) -> None:
-        """Resolve futures for lanes that stopped during the last segment."""
+    def _harvest(self, stop, dec_step, tokens, owners) -> None:
+        """Resolve futures for lanes that stopped during the segment whose
+        results these are (``owners`` captured at dispatch — see
+        ``_emit_streams``)."""
         done = [i for i, lane in enumerate(self._lanes)
-                if lane is not None and bool(stop[i])]
+                if lane is not None
+                and any(i == j and lane is ln for j, ln in owners)
+                and bool(stop[i])]
         if not done:
             return
         d = self._dia.config.data
@@ -758,16 +812,42 @@ class ContinuousBatcher:
         except Exception as e:  # noqa: BLE001 — deliver, don't hang clients
             self._fail_all(e)
 
+    @staticmethod
+    @jax.jit
+    def _copy3(stop, dec_step, tokens):
+        # device-side copies of a segment's result fields: they survive the
+        # next cb_segment dispatch donating the state buffers they came from
+        return jnp.copy(stop), jnp.copy(dec_step), jnp.copy(tokens)
+
     def _run_loop(self) -> None:
         cfg = self._dia.config
         seg = jnp.asarray(self.segment_steps, jnp.int32)
+        # depth-1 segment pipeline: `pending` holds (device refs, owners) of
+        # the dispatched-but-not-yet-harvested segment.  When the queue is
+        # empty, the worker dispatches segment N+1 BEFORE fetching segment
+        # N's results, so the per-segment device->host round trip (~25 ms on
+        # the remote-attached TPU, vs ~150 ms of segment compute) overlaps
+        # the next segment's execution instead of idling the device.  When
+        # requests are queued (or cancels/shutdown are pending), it drains
+        # synchronously so harvest->admit latency stays one segment.
+        pending = None
+
+        def fetch_and_harvest(p) -> None:
+            refs, owners = p
+            # ONE fetch per segment: the cost is the tunnel round trip, not
+            # the bytes (tokens is N x 108 KB)
+            stop, dec_step, tokens = jax.device_get(refs)
+            self._emit_streams(stop, dec_step, tokens, owners)
+            self._harvest(stop, dec_step, tokens, owners)
+
         while True:
             self._apply_cancels()
             with self._cond:
-                if not self._running and not self._q and not any(
-                        lane is not None for lane in self._lanes):
+                have_work = bool(self._q) or any(
+                    lane is not None for lane in self._lanes)
+                if not self._running and not have_work and pending is None:
                     return
-                if not self._q and not any(lane is not None for lane in self._lanes):
+                if not have_work and pending is None:
                     self._cond.wait(timeout=0.1)
                     continue
                 batch: list[tuple[int, dict]] = []
@@ -784,18 +864,31 @@ class ContinuousBatcher:
                             req["stream_q"].put(None)
                 live = sum(lane is not None for lane in self._lanes)
                 self.stats["max_live"] = max(self.stats["max_live"], live)
-                if live == 0:
-                    continue
-                self._state = cb_segment(
-                    self._dia.params, cfg, self._state, self._cross, self._mask,
-                    seg, self.cfg_filter_top_k, self._dia.compute_dtype)
-                self.stats["segments"] += 1
-                # ONE device->host fetch per segment: every read pays a
-                # tunnel round trip (~25 ms) on the remote-attached TPU —
-                # a large fraction of a 64-step segment's ~150 ms compute.
-                # The tokens buffer itself is small (N x 108 KB); the fetch
-                # cost is the round trip, not the bytes.
-                stop, dec_step, tokens = jax.device_get(
-                    (self._state.stop, self._state.dec_step, self._state.tokens))
-                self._emit_streams(stop, dec_step, tokens)
-                self._harvest(stop, dec_step, tokens)
+                if live:
+                    owners = [(i, lane) for i, lane in enumerate(self._lanes)
+                              if lane is not None]
+                    self._state = cb_segment(
+                        self._dia.params, cfg, self._state, self._cross,
+                        self._mask, seg, self.cfg_filter_top_k,
+                        self._dia.compute_dtype)
+                    self.stats["segments"] += 1
+                    new_pending = (self._copy3(
+                        self._state.stop, self._state.dec_step,
+                        self._state.tokens), owners)
+                else:
+                    new_pending = None
+                # overlap: prep queued requests while the segment (dispatched
+                # above, not yet fetched) executes on the device
+                self._prep_pending()
+                if pending is not None:
+                    # previous segment finished before the new one started:
+                    # this fetch returns in ~one round trip and overlaps the
+                    # in-flight segment
+                    fetch_and_harvest(pending)
+                pending = new_pending
+                with self._cond:
+                    drain_now = (bool(self._q) or bool(self._cancel)
+                                 or not self._running)
+                if pending is not None and drain_now:
+                    fetch_and_harvest(pending)
+                    pending = None

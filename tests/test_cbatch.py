@@ -219,6 +219,24 @@ def test_text_over_window_rejected_not_truncated(tiny):
         cb.shutdown()
 
 
+def test_prep_ahead_error_delivery(tiny):
+    """A bad request queued BEHIND busy lanes (so its prep runs
+    speculatively via `_prep_pending`, not at admission) resolves its own
+    future with the error while the lanes keep decoding."""
+    cb = ContinuousBatcher(tiny, n_slots=1, segment_steps=8, max_tokens=MT,
+                           text_window=64)
+    try:
+        good = cb.submit("[S1] occupies the lane", temperature=0.0, seed=1)
+        bad = cb.submit("[S1] " + "word " * 40,  # > 64 encoded bytes
+                        temperature=0.0, seed=2)
+        with pytest.raises(ValueError, match="text window"):
+            bad.result(timeout=300)
+        assert good.result(timeout=300).shape[1] == 9
+    finally:
+        cb.shutdown()
+    assert cb.stats["completed"] == 1
+
+
 def test_bad_request_delivers_exception_and_keeps_serving(tiny):
     """A request that fails at admission resolves ITS future with the error;
     the batcher keeps serving the rest."""
