@@ -32,15 +32,23 @@ Params = dict[str, Any]
 
 AXIS_DATA = "data"
 AXIS_MODEL = "model"
+AXIS_REPLICA = "replica"  # DCN (cross-host/slice) pure data parallelism
 
 
-def make_mesh(data: int | None = None, model: int | None = None, devices=None) -> Mesh:
+def make_mesh(data: int | None = None, model: int | None = None, devices=None,
+              replica: int | None = None) -> Mesh:
     """Build a (data, model) mesh over the available devices.
 
     Defaults: use every device on the model axis (TP-first — the Dia workload
     is latency-bound single-stream generation, where TP cuts per-token HBM
     traffic by the model-axis size).
+
+    ``replica`` adds a leading DCN axis for multi-host/multi-slice scale-out
+    (see ``make_hybrid_mesh``); omitted, the mesh is the 2-axis ICI layout.
     """
+    if replica is not None:
+        return make_hybrid_mesh(replica=replica, data=data, model=model,
+                                devices=devices)
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if model is None and data is None:
@@ -52,6 +60,44 @@ def make_mesh(data: int | None = None, model: int | None = None, devices=None) -
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
     return Mesh(devices.reshape(data, model), (AXIS_DATA, AXIS_MODEL))
+
+
+def make_hybrid_mesh(replica: int, data: int | None = None,
+                     model: int | None = None, devices=None) -> Mesh:
+    """(replica, data, model) mesh for multi-host / multi-slice training.
+
+    The reference is strictly single-device (SURVEY.md §2c); TPU pods scale
+    past one host over DCN, which is an order of magnitude slower than ICI —
+    so the plan keeps *all* model communication (TP psums, FSDP gathers) on
+    the intra-slice ICI axes and puts only pure data parallelism on the
+    ``replica`` axis: params/optimizer state are replicated across it and the
+    single per-step gradient all-reduce is the only DCN traffic.
+
+    Under real multi-process JAX the device grid comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so the replica axis lands
+    exactly on slice (DCN) boundaries; single-process (tests, the virtual
+    CPU mesh) falls back to a plain reshape, which is numerically identical.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    per_replica = n // replica
+    if model is None and data is None:
+        data, model = 1, per_replica
+    elif model is None:
+        model = per_replica // data
+    elif data is None:
+        data = per_replica // model
+    if replica * data * model != n:
+        raise ValueError(f"mesh {replica}x{data}x{model} != {n} devices")
+    axes = (AXIS_REPLICA, AXIS_DATA, AXIS_MODEL)
+    if jax.process_count() > 1 and devices.ndim == 1:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, model), dcn_mesh_shape=(replica, 1, 1),
+            devices=devices.tolist())
+        return Mesh(grid, axes)
+    return Mesh(devices.reshape(replica, data, model), axes)
 
 
 def _attn_specs(shard_heads: bool) -> Params:
@@ -154,9 +200,13 @@ def cross_cache_spec() -> P:
     return P(None, None, None, AXIS_MODEL, None)
 
 
-def batch_spec(ndim: int) -> P:
-    """Shard the leading batch axis over data."""
-    return P(AXIS_DATA, *([None] * (ndim - 1)))
+def batch_spec(ndim: int, mesh: Mesh | None = None) -> P:
+    """Shard the leading batch axis over data (and the DCN ``replica`` axis
+    when the mesh has one — global batch = replica × data shards)."""
+    batch_axes: Any = AXIS_DATA
+    if mesh is not None and AXIS_REPLICA in mesh.axis_names:
+        batch_axes = (AXIS_REPLICA, AXIS_DATA)
+    return P(batch_axes, *([None] * (ndim - 1)))
 
 
 def active_mesh() -> Mesh | None:
@@ -207,7 +257,7 @@ def shard_params(params: Params, mesh: Mesh, specs: Params | None = None,
 def shard_batch(tree, mesh: Mesh):
     """Commit input arrays with the batch axis over data."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x)))), tree
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x), mesh))), tree
     )
 
 

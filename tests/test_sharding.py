@@ -303,3 +303,73 @@ def test_fsdp_second_step_stays_consistent():
             m_ref = ref.step(batch)
             m_fsdp = tr.step(batch)
         np.testing.assert_allclose(m_fsdp["loss"], m_ref["loss"], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) replica axis — hybrid (replica, data, model) mesh
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_mesh_shapes_and_batch_spec():
+    from dia_tts_prune_tpu.parallel.sharding import batch_spec, make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(replica=2, data=2, model=2)
+    assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
+    # make_mesh(replica=...) routes to the hybrid builder
+    assert make_mesh(data=2, model=2, replica=2).shape == mesh.shape
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(replica=3, data=2, model=2)
+
+    # global batch spec spans (replica, data); the plain mesh keeps data-only
+    assert batch_spec(3, mesh) == P(("replica", "data"), None, None)
+    assert batch_spec(3, make_mesh(data=2, model=4)) == P("data", None, None)
+    assert batch_spec(3) == P("data", None, None)
+
+
+def test_hybrid_mesh_train_step_matches_single_device():
+    """A train step on the (2 replica, 2 data, 2 model) hybrid mesh equals the
+    single-device step: params replicate across the DCN axis, the batch
+    shards over replica x data, and the gradient all-reduce is the only
+    cross-replica dependency (emitted by GSPMD from the shardings alone)."""
+    from dia_tts_prune_tpu.train import TrainConfig, Trainer, build_train_batch
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 4
+    text = rng.integers(1, 200, (B, cfg.data.text_length)).astype(np.int32)
+    text[:, 40:] = 0
+    codes = [rng.integers(0, 1024, (60, 9)).astype(np.int32) for _ in range(B)]
+    batch = build_train_batch(cfg, text, codes)
+    tc = TrainConfig(learning_rate=3e-3, remat=False, max_grad_norm=1.0)
+
+    ref = Trainer(params, cfg, tc, num_training_steps=10)
+    ref_metrics = ref.step(batch)
+
+    mesh = make_mesh(data=2, model=2, replica=2)
+    sp = shard_params(params, mesh, config=cfg)
+    # params carry no replica axis in their sharding (replicated over DCN)
+    wi = sp["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]
+    assert "replica" not in str(wi.sharding.spec)
+    with mesh:
+        tr = Trainer(sp, cfg, tc, num_training_steps=10, mesh=mesh)
+        metrics = tr.step(batch)
+
+    np.testing.assert_allclose(metrics["loss"], ref_metrics["loss"], rtol=1e-5)
+    np.testing.assert_allclose(metrics["grad_norm"], ref_metrics["grad_norm"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr.params["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]),
+        np.asarray(ref.params["decoder"]["layers"]["mlp"]["wi_fused"]["kernel"]),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_hybrid_mesh_batch_spans_replica_and_data():
+    """shard_batch on the hybrid mesh puts one example per (replica, data)
+    pair - per-shard leading dim = B / (replica*data)."""
+    mesh = make_mesh(data=2, model=2, replica=2)
+    x = np.arange(4 * 6, dtype=np.float32).reshape(4, 6)
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert sharded.addressable_shards[0].data.shape == (1, 6)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
