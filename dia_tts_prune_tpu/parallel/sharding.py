@@ -93,6 +93,19 @@ def make_hybrid_mesh(replica: int, data: int | None = None,
     if jax.process_count() > 1 and devices.ndim == 1:
         from jax.experimental import mesh_utils
 
+        # the replica axis must land exactly on slice (DCN) boundaries:
+        # replica == number of slices and data*model == devices per slice.
+        # Validate here — create_hybrid_device_mesh's own failure mode for a
+        # mismatched topology is an opaque reshape error.
+        num_slices = len({getattr(d, "slice_index", 0) for d in devices.tolist()})
+        per_slice = n // max(num_slices, 1)
+        if replica != num_slices or data * model != per_slice:
+            raise ValueError(
+                f"hybrid mesh {replica}x{data}x{model} does not match the "
+                f"topology: {num_slices} slice(s) x {per_slice} device(s); "
+                f"replica must equal the slice count and data*model the "
+                f"per-slice device count"
+            )
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, data, model), dcn_mesh_shape=(replica, 1, 1),
             devices=devices.tolist())
@@ -234,7 +247,11 @@ def constrain(x, spec: P):
         if axis is None:
             fixed.append(None)
             continue
-        size = mesh.shape.get(axis, 1)
+        # a spec entry may be one axis name or a tuple of axes (e.g. the
+        # hybrid batch spec's ('replica', 'data')) — divisibility is against
+        # the product of the named axis sizes
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape.get(a, 1) for a in axes]))
         fixed.append(axis if x.shape[dim] % size == 0 else None)
     fixed.extend([None] * (x.ndim - len(fixed)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*fixed)))

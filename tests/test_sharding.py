@@ -373,3 +373,22 @@ def test_hybrid_mesh_batch_spans_replica_and_data():
     sharded = shard_batch({"x": x}, mesh)["x"]
     assert sharded.addressable_shards[0].data.shape == (1, 6)
     np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_constrain_tuple_axes_divisibility():
+    """constrain() with a tuple-of-axes spec entry (hybrid batch spec) checks
+    divisibility against the PRODUCT of the axis sizes: a batch of 4 over
+    ('replica','data') = 2*2 keeps the shard; a batch of 2 drops to
+    replicated instead of GSPMD padding."""
+    from dia_tts_prune_tpu.parallel.sharding import constrain
+
+    mesh = make_mesh(data=2, model=2, replica=2)
+    spec = P(("replica", "data"), None)
+
+    with mesh:
+        ok = jax.jit(lambda x: constrain(x, spec))(jnp.ones((4, 8)))
+        assert "replica" in str(ok.sharding.spec)
+        # 2 % (2*2) != 0 → the tuple axis must be dropped, not padded
+        dropped = jax.jit(lambda x: constrain(x, spec))(jnp.ones((2, 8)))
+        assert dropped.shape == (2, 8)
+        assert "replica" not in str(dropped.sharding.spec)
