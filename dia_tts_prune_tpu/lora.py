@@ -160,7 +160,18 @@ def save_adapter(path: str | Path, adapter: Params) -> None:
 
 
 def load_adapter(path: str | Path) -> Params:
+    """Load an adapter directory — either this framework's native format
+    (adapter_weights.npz) or a torch-peft LoRA directory
+    (adapter_model.safetensors / adapter_model.bin with lora_A/lora_B keys),
+    the format the reference consumes and produces
+    (reference: cli.py:166-174 ``PeftModel.from_pretrained``,
+    finetune.py:574 ``save_pretrained``)."""
     path = Path(path)
+    if not (path / "adapter_weights.npz").exists() and (
+        (path / "adapter_model.safetensors").exists()
+        or (path / "adapter_model.bin").exists()
+    ):
+        return load_peft_adapter(path)
     config = json.loads((path / "adapter_config.json").read_text())
     data = np.load(path / "adapter_weights.npz")
     weights: Params = {}
@@ -171,6 +182,156 @@ def load_adapter(path: str | Path) -> Params:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(data[key])
     return {"config": config, "weights": weights}
+
+
+# ---------------------------------------------------------------------------
+# torch-peft interop
+#
+# peft stores one pair per wrapped nn.Linear:
+#   base_model.model.<module path>.lora_A.weight   [r, fan_in]
+#   base_model.model.<module path>.lora_B.weight   [fan_out, r]
+# with module paths in the reference schema (encoder.layers.{i}.self_attention
+# .q_proj, ...; dia/layers.py:419-814).  Linear computes y = x W^T and merges
+# W' = W + scale·B@A; our kernels are the JAX layout W^T reshaped
+# (in_shapes + out_features, dia/layers.py:19-53), so the native factors are
+# the transposes: a[i] = A_i^T [fan_in, r], b[i] = B_i^T [r, fan_out] —
+# then scale·a@b == (scale·B@A)^T, the same delta in kernel layout.
+# ---------------------------------------------------------------------------
+
+
+def _load_peft_tensors(path: Path) -> dict[str, np.ndarray]:
+    st = path / "adapter_model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st))
+    import torch
+
+    obj = torch.load(str(path / "adapter_model.bin"), map_location="cpu",
+                     weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def load_peft_adapter(path: str | Path) -> Params:
+    """torch-peft LoRA directory → native adapter pytree (stacked L axis)."""
+    path = Path(path)
+    pc = json.loads((path / "adapter_config.json").read_text())
+    tensors = _load_peft_tensors(path)
+
+    # group keys by (module path without layer index, layer index)
+    pairs: dict[tuple[str, ...], dict[int, dict[str, np.ndarray]]] = {}
+    for key, arr in tensors.items():
+        m = key
+        for prefix in ("base_model.model.", "base_model."):
+            if m.startswith(prefix):
+                m = m[len(prefix):]
+                break
+        parts = m.split(".")
+        if parts[-1] != "weight" or parts[-2] not in ("lora_A", "lora_B"):
+            continue
+        ab = "a" if parts[-2] == "lora_A" else "b"
+        mod_path = parts[:-2]
+        # peft>=0.7 inserts the adapter name: ...lora_A.default.weight
+        if mod_path and mod_path[-1] in ("default",):
+            mod_path = mod_path[:-1]
+        layer = None
+        tree_path = []
+        for p in mod_path:
+            if p.isdigit() and tree_path and tree_path[-1] == "layers":
+                layer = int(p)
+            else:
+                tree_path.append(p)
+        target = tuple(tree_path)
+        pairs.setdefault(target, {}).setdefault(
+            layer if layer is not None else -1, {})[ab] = np.asarray(arr)
+
+    weights: Params = {}
+    targets = set()
+    for target, by_layer in pairs.items():
+        name = target[-1]
+        targets.add(name)
+        if name not in _TARGET_SPLITS:
+            raise ValueError(f"Unsupported peft LoRA target module: {'.'.join(target)}")
+        stacked = set(by_layer) != {-1}
+        if stacked:
+            L = max(by_layer) + 1
+            missing = [i for i in range(L) if i not in by_layer]
+            if missing:
+                raise ValueError(
+                    f"peft adapter misses layers {missing} for {'.'.join(target)}")
+            a = np.stack([by_layer[i]["a"].T for i in range(L)])  # [L, fan_in, r]
+            b = np.stack([by_layer[i]["b"].T for i in range(L)])  # [L, r, fan_out]
+        else:
+            a = by_layer[-1]["a"].T
+            b = by_layer[-1]["b"].T
+        node = weights
+        for p in target[:-1]:
+            node = node.setdefault(p, {})
+        node[name] = {"a": jnp.asarray(a, jnp.float32), "b": jnp.asarray(b, jnp.float32)}
+
+    config = _config_leaves(LoraConfig(
+        r=int(pc["r"]),
+        alpha=float(pc.get("lora_alpha", pc["r"])),
+        dropout=float(pc.get("lora_dropout", 0.0) or 0.0),
+        target_modules=tuple(sorted(targets)),
+    ))
+    return {"config": config, "weights": weights}
+
+
+def save_peft_adapter(path: str | Path, adapter: Params) -> None:
+    """Native adapter pytree → torch-peft LoRA directory
+    (adapter_config.json in peft schema + adapter_model.safetensors),
+    loadable by ``peft.PeftModel.from_pretrained`` against the torch
+    reference model (reference consumption point: cli.py:166-174)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cfg = adapter["config"]
+    peft_cfg = {
+        "peft_type": "LORA",
+        "task_type": None,
+        "r": int(cfg["r"]),
+        "lora_alpha": float(cfg["alpha"]),
+        "lora_dropout": float(cfg.get("dropout", 0.0)),
+        "target_modules": list(cfg["target_modules"]),
+        "bias": "none",
+        "fan_in_fan_out": False,
+        "inference_mode": True,
+        "base_model_name_or_path": None,
+    }
+    (path / "adapter_config.json").write_text(json.dumps(peft_cfg, indent=2))
+
+    tensors: dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                continue
+            if "a" in v and "b" in v and not isinstance(v["a"], dict):
+                a, b = np.asarray(v["a"], np.float32), np.asarray(v["b"], np.float32)
+                base = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+                if a.ndim == 3:  # stacked layers → per-layer peft keys
+                    # prefix ends with the container ("...layers"); peft paths
+                    # index it: encoder.layers.{i}.self_attention.q_proj
+                    parts = base.split(".")
+                    li = parts.index("layers")
+                    for i in range(a.shape[0]):
+                        mod = ".".join(parts[: li + 1] + [str(i)] + parts[li + 1:])
+                        tensors[f"base_model.model.{mod}.lora_A.weight"] = \
+                            np.ascontiguousarray(a[i].T)
+                        tensors[f"base_model.model.{mod}.lora_B.weight"] = \
+                            np.ascontiguousarray(b[i].T)
+                else:
+                    tensors[f"base_model.model.{base}.lora_A.weight"] = \
+                        np.ascontiguousarray(a.T)
+                    tensors[f"base_model.model.{base}.lora_B.weight"] = \
+                        np.ascontiguousarray(b.T)
+            else:
+                walk(v, f"{prefix}{k}" if not prefix else f"{prefix}.{k}")
+
+    walk(adapter["weights"], "")
+    save_file(tensors, str(path / "adapter_model.safetensors"))
 
 
 def lora_param_count(adapter: Params) -> int:
