@@ -3,9 +3,12 @@
 The reference uses torchaudio (libsox/ffmpeg) + soundfile for I/O and
 resampling (dia/model.py:546-595).  Neither is available here; this module
 provides WAV read/write via the stdlib ``wave`` module (16/24/32-bit PCM and
-float32) and polyphase resampling via scipy — pure host-side work (SURVEY.md
-§2b: "this is I/O, not kernel work").  A C++ fast path for PCM conversion is
-used when the native extension is built (see native/).
+float32), FLAC via the in-repo codec (utils/flac.py), other compressed
+formats (mp3, ogg) through optional soundfile/ffmpeg with a precise
+unsupported-format error otherwise, and polyphase resampling via scipy —
+pure host-side work (SURVEY.md §2b: "this is I/O, not kernel work").  A C++
+fast path for PCM conversion is used when the native extension is built
+(see native/).
 """
 
 from __future__ import annotations
@@ -75,6 +78,72 @@ def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int = DEFAULT_SA
         f.writeframes(pcm.tobytes())
 
 
+def _read_via_soundfile(path: Path) -> "tuple[np.ndarray, int] | None":
+    try:
+        import soundfile  # optional dep; not in the base image
+    except ImportError:
+        return None
+    data, rate = soundfile.read(str(path), dtype="float32", always_2d=True)
+    return data.T, int(rate)  # [C, T]
+
+
+def _read_via_ffmpeg(path: Path) -> "tuple[np.ndarray, int] | None":
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    ffprobe = shutil.which("ffprobe")
+    if ffmpeg is None:
+        return None
+    rate = 44100
+    if ffprobe is not None:
+        try:
+            out = subprocess.run(
+                [ffprobe, "-v", "quiet", "-select_streams", "a:0",
+                 "-show_entries", "stream=sample_rate", "-of", "csv=p=0", str(path)],
+                capture_output=True, check=True, timeout=60)
+            rate = int(out.stdout.strip() or rate)
+        except Exception:
+            pass
+    proc = subprocess.run(
+        [ffmpeg, "-v", "quiet", "-i", str(path), "-f", "f32le", "-ac", "1",
+         "-ar", str(rate), "pipe:1"],
+        capture_output=True, check=True, timeout=300)
+    return np.frombuffer(proc.stdout, np.float32)[None, :], rate
+
+
+def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Read an audio file → (float32 [C, T] in [-1, 1], sample_rate).
+
+    Formats: WAV (stdlib) and FLAC (in-repo decoder, utils/flac.py) always
+    work; anything else (mp3, ogg, …) needs the optional ``soundfile``
+    package or an ``ffmpeg`` binary on PATH — the reference decodes such
+    prompts through torchaudio (dia/model.py:551-559).  Raises a ValueError
+    naming the supported formats when no decoder can handle the file."""
+    p = Path(path)
+    head = p.open("rb").read(4)
+    if head == b"RIFF":
+        return read_wav(p)
+    if head == b"fLaC":
+        from .flac import read_flac
+
+        return read_flac(p)
+    for reader in (_read_via_soundfile, _read_via_ffmpeg):
+        try:
+            got = reader(p)
+        except Exception as e:  # decoder present but failed on this file
+            raise ValueError(f"Failed to decode {p}: {e}") from e
+        if got is not None:
+            return got
+    suffix = p.suffix or "<no extension>"
+    raise ValueError(
+        f"Unsupported audio format {suffix!r} for {p}: WAV and FLAC decode "
+        f"natively; other formats (mp3, ogg, …) require the optional "
+        f"'soundfile' package or an 'ffmpeg' binary on PATH — neither is "
+        f"available. Convert the prompt to .wav or .flac."
+    )
+
+
 def to_mono(audio_CxT: np.ndarray) -> np.ndarray:
     """Channel-mean downmix (reference: dia/model.py:553-555)."""
     if audio_CxT.ndim == 1:
@@ -95,8 +164,9 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 def load_audio_mono(path: str | Path, target_sr: int = DEFAULT_SAMPLE_RATE) -> np.ndarray:
     """Read → mono → resample to target (the reference's load_audio front half,
-    dia/model.py:546-562)."""
-    data, sr = read_wav(path)
+    dia/model.py:546-562).  WAV/FLAC native; mp3 etc. via soundfile/ffmpeg
+    (see ``read_audio``)."""
+    data, sr = read_audio(path)
     mono = to_mono(data)
     return resample(mono, sr, target_sr)
 
