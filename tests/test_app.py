@@ -137,3 +137,49 @@ def test_int8_quantization(tiny_dia):
     gen = DiaGenerator(fq, tiny_dia.config)
     out = gen.generate_tokens("[S1] quantized", max_tokens=40, temperature=0.0)
     assert out.shape[0] > 0
+
+
+def test_gradio_ui_wiring_smoke(tiny_dia, monkeypatch):
+    """Execute serve_gradio's handler once against a stubbed gradio module so
+    the UI wiring (handler signature, run_inference plumbing, launch call)
+    can't rot — gradio itself isn't installed here (reference UI:
+    app.py:296-493)."""
+    import sys
+    import types
+
+    captured = {}
+
+    class _Component:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Interface:
+        def __init__(self, fn, inputs, outputs, title=None, **k):
+            captured["fn"] = fn
+            captured["n_inputs"] = len(inputs)
+            captured["title"] = title
+
+        def launch(self, server_name=None, server_port=None, **k):
+            captured["launch"] = (server_name, server_port)
+
+    stub = types.ModuleType("gradio")
+    stub.Interface = _Interface
+    for name in ("Textbox", "Audio", "Slider", "Number"):
+        setattr(stub, name, _Component)
+    monkeypatch.setitem(sys.modules, "gradio", stub)
+
+    from dia_tts_prune_tpu.app import serve_gradio
+
+    serve_gradio(tiny_dia, host="127.0.0.1", port=7861)
+    assert captured["launch"] == ("127.0.0.1", 7861)
+
+    # drive the captured handler exactly as the UI would
+    sr, pcm = captured["fn"](
+        "[S1] Hello from the UI.", None, "", 96, 3.0, 0.0, 0.95, 35, 1.0, 0, 7)
+    assert sr == tiny_dia.dac_config.sample_rate
+    assert isinstance(pcm, np.ndarray) and pcm.dtype == np.int16 and pcm.size > 0
+
+    # seed sentinel -1 → random seed path still returns audio
+    sr2, pcm2 = captured["fn"](
+        "[S2] Again.", None, None, 96, 3.0, 0.0, 0.95, 35, 1.0, 0, -1)
+    assert pcm2.size > 0 and captured["n_inputs"] == 11
