@@ -144,6 +144,56 @@ def measure(gen, config, args, metric: str, n_params: int, ttfa_cache_len: int):
     }
 
 
+def measure_spec(params, config, args, metric: str, n_params: int):
+    """Speculative-decoding throughput: warmup, timed run, α and fallback share."""
+    import jax
+
+    from dia_tts_prune_tpu.speculative import SpeculativeGenerator
+
+    steps = min(args.steps, config.data.audio_length - 32)
+    max_tokens = steps + config.data.max_delay + 2
+
+    def fresh():
+        return SpeculativeGenerator(
+            params, config, args.dtype,
+            n_draft_layers=args.spec_draft_layers, window=args.spec)
+
+    warm = fresh()
+    warm.generate_tokens(BENCH_TEXT, max_tokens=max_tokens,
+                         temperature=args.temperature,
+                         cfg_filter_top_k=args.top_k, seed=1)
+    gen = fresh()  # clean stats for the timed run (compiles are cached)
+    t0 = time.perf_counter()
+    out = gen.generate_tokens(BENCH_TEXT, max_tokens=max_tokens,
+                              temperature=args.temperature,
+                              cfg_filter_top_k=args.top_k, seed=args.seed)
+    dt = time.perf_counter() - t0
+    gen_rows = out.shape[0] + config.data.max_delay
+    tokens_per_sec = gen_rows / dt
+    total_steps = gen.stats["tokens"] + gen.stats["fallback_steps"]
+    return {
+        "metric": metric,
+        "value": round(tokens_per_sec / DAC_FRAME_RATE, 4),
+        "unit": "x_realtime",
+        "vs_baseline": round(tokens_per_sec / DAC_FRAME_RATE / BASELINE_RTF_BF16, 4),
+        "tokens_per_sec": round(tokens_per_sec, 2),
+        "decode_steps": int(gen_rows),
+        "wall_seconds": round(dt, 3),
+        "params": n_params,
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+        "temperature": args.temperature,
+        "batch": 1,
+        "spec_window": gen.window,
+        "spec_draft_layers": gen.n_draft_layers,
+        "spec_acceptance_rate": round(gen.acceptance_rate, 4)
+        if gen.stats["drafted"] else None,
+        "spec_fallback_steps": gen.stats["fallback_steps"],
+        "spec_loop_steps": int(total_steps),
+        "weights": "random",
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
@@ -163,6 +213,13 @@ def main(argv=None):
                         "kernels int4 + the rest int8. Single line.")
     parser.add_argument("--batch", type=int, default=1,
                         help="N independent streams decoded in one batched loop")
+    parser.add_argument("--spec", type=int, default=None, metavar="WINDOW",
+                        help="speculative decoding (layer-skip self-draft, "
+                        "verify window of WINDOW tokens); composes with "
+                        "--int8 / default weight format. Single line with "
+                        "acceptance-rate stats.")
+    parser.add_argument("--spec-draft-layers", type=int, default=None,
+                        help="draft depth (default: n_layer // 3)")
     parser.add_argument("--pruned", type=str, default="none", choices=PRUNED_MODES,
                         help="pruned-inference config (BASELINE configs 3-4): "
                         "block-sparse kernels, masked-dense, or physical shrink")
@@ -215,7 +272,16 @@ def main(argv=None):
     size = "tiny_smoke" if args.tiny else "dia1.6b_1chip"
 
     results = []
-    if args.pruned != "none":
+    if args.spec is not None:
+        fmt = "bf16"
+        if args.int8:
+            from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+
+            params = quantize_params_int8_packed(params)
+            fmt = "int8"
+        results.append(measure_spec(
+            params, config, args, f"RTF_spec{args.spec}-{fmt}_{size}", n_params))
+    elif args.pruned != "none":
         params, config = _apply_pruning(params, config, args.pruned)
         label = f"RTF_pruned_{args.pruned}_{size}{suffix}"
         if args.int8 and args.pruned.startswith(("shrink", "unstructured")):

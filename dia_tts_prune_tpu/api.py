@@ -269,8 +269,35 @@ class Dia:
         out[s * hop :] = w[off * hop :]
         return out
 
-    def generate_codes(self, text: str, **kwargs) -> np.ndarray:
-        """Text → undelayed codec tokens [T, C] (no codec decode)."""
+    def speculative_generator(self, window: int = 8,
+                              n_draft_layers: int | None = None):
+        """The speculative-decoding driver over the CURRENT params (layer-skip
+        self-draft + batched-window verify; speculative.py).  Cached until the
+        params object is swapped (quantize/adapter/prune recreate it)."""
+        from .speculative import SpeculativeGenerator
+
+        key = (int(window), n_draft_layers, id(self.params))
+        if getattr(self, "_spec_key", None) != key:
+            self._spec_gen = SpeculativeGenerator(
+                self.params, self.config, self.compute_dtype,
+                n_draft_layers=n_draft_layers, window=int(window))
+            self._spec_key = key
+        return self._spec_gen
+
+    def generate_codes(self, text: str, speculative: "bool | int" = False,
+                       spec_draft_layers: int | None = None, **kwargs) -> np.ndarray:
+        """Text → undelayed codec tokens [T, C] (no codec decode).
+
+        ``speculative`` switches to the speculative decoder: ``True`` (window
+        8) or an int window size.  Output-distribution-preserving — greedy is
+        token-exact vs the normal loop, sampled draws are exact samples from
+        the same filtered distribution (speculative.py docstring)."""
+        if speculative:
+            window = 8 if speculative is True else int(speculative)
+            gen = self.speculative_generator(window, spec_draft_layers)
+            kwargs.pop("verbose", None)
+            kwargs.pop("cache_len", None)
+            return gen.generate_tokens(text, **kwargs)
         return self.generator.generate_tokens(text, **kwargs)
 
     def generate(
@@ -287,11 +314,15 @@ class Dia:
         verbose: bool = False,
         use_torch_compile: bool = False,  # accepted for reference-API compat;
         # the whole pipeline is always jit-compiled here (dia/model.py:658)
+        speculative: "bool | int" = False,
+        spec_draft_layers: int | None = None,
     ) -> np.ndarray | None:
         """Text → waveform (float32 [T_audio]) — reference: dia/model.py:631-846.
 
-        ``audio_prompt`` may be a WAV path (encoded through the JAX DAC) or a
-        pre-encoded [T, C] code array.
+        ``audio_prompt`` may be a WAV/FLAC path (encoded through the JAX DAC)
+        or a pre-encoded [T, C] code array.  ``speculative`` enables the
+        layer-skip speculative decoder (True = window 8, or an int window) —
+        same output distribution, fewer full-model steps.
         """
         prompt_codes = None
         if isinstance(audio_prompt, (str, Path)):
@@ -299,7 +330,7 @@ class Dia:
         elif audio_prompt is not None:
             prompt_codes = np.asarray(audio_prompt)
 
-        codes = self.generator.generate_tokens(
+        codes = self.generate_codes(
             text,
             max_tokens=max_tokens,
             cfg_scale=cfg_scale,
@@ -310,6 +341,8 @@ class Dia:
             audio_prompt_text=audio_prompt_text,
             seed=seed,
             verbose=verbose,
+            speculative=speculative,
+            spec_draft_layers=spec_draft_layers,
         )
         if codes.shape[0] == 0:
             return None
