@@ -97,6 +97,40 @@ def _dtype_of(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
 
+def _flatten_tree(tree, prefix: str = "") -> dict:
+    """Pytree (nested dicts/lists of arrays) → flat dotted-key dict.
+    List indices become numeric key segments (inverse: _unflatten_tree)."""
+    flat = {}
+    items = enumerate(tree) if isinstance(tree, (list, tuple)) else tree.items()
+    for k, v in items:
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, (dict, list, tuple)):
+            flat.update(_flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_tree(flat: dict):
+    """Inverse of _flatten_tree: numeric key segments rebuild lists."""
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [fix(node[str(i)]) for i in range(len(node))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
 class Dia:
     """Orchestrator: model params + generator + codec (reference: dia/model.py:101)."""
 
@@ -178,6 +212,12 @@ class Dia:
         dia = cls(config, params, compute_dtype, dac_config=load_dac_config(dac_config))
         if dac_checkpoint is not None:
             dia.load_dac(dac_checkpoint)
+        elif (path / "dac.safetensors").exists():
+            # self-contained model dir (written by save_pretrained): codec
+            # weights ride along, so generate()/load_audio() work immediately
+            from safetensors.numpy import load_file
+
+            dia.dac_params = _unflatten_tree(load_file(str(path / "dac.safetensors")))
         return dia
 
     @classmethod
@@ -560,11 +600,14 @@ class Dia:
         reference's PEFT set_adapter analogue (dia/model.py:621-625)."""
         self.load_adapter_weights(adapter_path, fuse=True)
 
-    def save_pretrained(self, directory: str | Path) -> None:
+    def save_pretrained(self, directory: str | Path, include_dac: bool = True) -> None:
         """Write a reference-compatible model dir: config.json +
-        model.safetensors (+ dac_config.json when a non-default codec is
-        configured).  Loadable by both ``from_pretrained`` here and (after
-        renaming to pytorch_model.bin via torch) the torch reference."""
+        model.safetensors, plus — when codec weights are loaded and
+        ``include_dac`` — dac.safetensors + dac_config.json, making the dir
+        fully self-contained (``from_pretrained(dir)`` can generate audio
+        with no external DAC checkpoint).  model.safetensors is loadable by
+        both ``from_pretrained`` here and (after renaming to
+        pytorch_model.bin via torch) the torch reference."""
         import json
 
         from safetensors.numpy import save_file
@@ -577,7 +620,14 @@ class Dia:
         sd = {k: np.ascontiguousarray(v) for k, v in
               to_torch_state_dict(self.params, self.config).items()}
         save_file(sd, str(directory / "model.safetensors"))
-        if self.dac_config != DACConfig():
+        bundle_dac = include_dac and self.dac_params is not None
+        if bundle_dac:
+            save_file(
+                {k: np.ascontiguousarray(v)
+                 for k, v in _flatten_tree(self.dac_params).items()},
+                str(directory / "dac.safetensors"),
+            )
+        if bundle_dac or self.dac_config != DACConfig():
             from dataclasses import asdict
 
             (directory / "dac_config.json").write_text(

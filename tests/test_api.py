@@ -96,11 +96,24 @@ def test_save_pretrained_round_trip(tiny_dia, tmp_path):
     tiny_dia.save_pretrained(tmp_path / "saved")
     assert (tmp_path / "saved" / "model.safetensors").exists()
     assert (tmp_path / "saved" / "dac_config.json").exists()  # non-default codec
+    assert (tmp_path / "saved" / "dac.safetensors").exists()  # bundled codec weights
     dia2 = Dia.from_pretrained(str(tmp_path / "saved"))
     assert dia2.dac_config == tiny_dia.dac_config
     a = tiny_dia.generate_codes("[S1] sp", max_tokens=32, temperature=0.0)
     b = dia2.generate_codes("[S1] sp", max_tokens=32, temperature=0.0)
     np.testing.assert_array_equal(a, b)
+    # the dir is fully self-contained: waveform generation works with no
+    # external DAC checkpoint, and the bundled codec matches exactly
+    wav_a = tiny_dia.generate("[S1] sp", max_tokens=32, temperature=0.0)
+    wav_b = dia2.generate("[S1] sp", max_tokens=32, temperature=0.0)
+    np.testing.assert_allclose(wav_a, wav_b, atol=1e-6)
+
+
+def test_save_pretrained_without_dac_bundle(tiny_dia, tmp_path):
+    tiny_dia.save_pretrained(tmp_path / "nodac", include_dac=False)
+    assert not (tmp_path / "nodac" / "dac.safetensors").exists()
+    dia2 = Dia.from_pretrained(str(tmp_path / "nodac"))
+    assert dia2.dac_params is None
 
 
 def test_adapter_load_unload_switch(tiny_dia, tmp_path):
