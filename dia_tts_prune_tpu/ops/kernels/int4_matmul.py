@@ -24,7 +24,18 @@ cost (docs/PERF.md).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _mm_dtype(x):
+    """XLA:CPU's thunk runtime cannot execute BF16×BF16→F32 dots
+    (UNIMPLEMENTED DotThunk); do the math in f32 there — bf16 values are
+    exact in f32, so only test-environment numerics change.  TPU keeps the
+    bf16 MXU path."""
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return jnp.float32
+    return x.dtype
 
 
 def int4_matmul_upcast(x, w_q, scale):
@@ -33,8 +44,9 @@ def int4_matmul_upcast(x, w_q, scale):
     The int4→activation-dtype convert sits inside the dot so XLA can fuse it
     into the operand load — int4 HBM bytes, bf16 MXU math, activations never
     quantized (same contract as ``int8_matmul_upcast``)."""
-    w = w_q.astype(x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    dt = _mm_dtype(x)
+    w = w_q.astype(dt)
+    y = jnp.dot(x.astype(dt), w, preferred_element_type=jnp.float32)
     return (y * scale[None, :]).astype(x.dtype)
 
 
@@ -45,9 +57,10 @@ def int4_matmul_grouped(x, w_q, scale):
     per-group partials with their scales:  y[b,n] = Σ_k s[k,n]·(x_k · W_k)[b,n].
     """
     n_groups, G, N = w_q.shape
-    x3 = x.reshape(x.shape[0], n_groups, G)
+    dt = _mm_dtype(x)
+    x3 = x.reshape(x.shape[0], n_groups, G).astype(dt)
     part = jnp.einsum(
-        "bkg,kgn->bkn", x3, w_q.astype(x.dtype),
+        "bkg,kgn->bkn", x3, w_q.astype(dt),
         preferred_element_type=jnp.float32)
     y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))
     return y.astype(x.dtype)
@@ -63,10 +76,11 @@ def int4_matmul_nibble(x, w_b, scale):
 
       y = x[:, 0::2] @ sext(b << 4 >> 4)  +  x[:, 1::2] @ (b >> 4)
     """
-    wl = ((w_b << 4) >> 4).astype(x.dtype)
-    wh = (w_b >> 4).astype(x.dtype)
-    y = jnp.dot(x[:, 0::2], wl, preferred_element_type=jnp.float32)
-    y = y + jnp.dot(x[:, 1::2], wh, preferred_element_type=jnp.float32)
+    dt = _mm_dtype(x)
+    wl = ((w_b << 4) >> 4).astype(dt)
+    wh = (w_b >> 4).astype(dt)
+    y = jnp.dot(x[:, 0::2].astype(dt), wl, preferred_element_type=jnp.float32)
+    y = y + jnp.dot(x[:, 1::2].astype(dt), wh, preferred_element_type=jnp.float32)
     return (y * scale[None, :]).astype(x.dtype)
 
 
@@ -79,10 +93,11 @@ def int4_matmul_nibble_grouped(x, w_b, scale):
     n_groups, N = scale.shape
     K2 = w_b.shape[0]
     gh = K2 // n_groups  # = G // 2
-    wl = ((w_b << 4) >> 4).astype(x.dtype).reshape(n_groups, gh, N)
-    wh = (w_b >> 4).astype(x.dtype).reshape(n_groups, gh, N)
-    xe = x[:, 0::2].reshape(x.shape[0], n_groups, gh)
-    xo = x[:, 1::2].reshape(x.shape[0], n_groups, gh)
+    dt = _mm_dtype(x)
+    wl = ((w_b << 4) >> 4).astype(dt).reshape(n_groups, gh, N)
+    wh = (w_b >> 4).astype(dt).reshape(n_groups, gh, N)
+    xe = x[:, 0::2].reshape(x.shape[0], n_groups, gh).astype(dt)
+    xo = x[:, 1::2].reshape(x.shape[0], n_groups, gh).astype(dt)
     part = jnp.einsum("bkg,kgn->bkn", xe, wl, preferred_element_type=jnp.float32)
     part = part + jnp.einsum("bkg,kgn->bkn", xo, wh, preferred_element_type=jnp.float32)
     y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))

@@ -348,37 +348,29 @@ def full_attention(
     """
     H = q.shape[-1]
     if _use_flash() and q_segment_ids is not None and kv_segment_ids is not None:
-        if q.shape[1] >= 128 and H % 128 == 0:
-            import os
+        import math
+        import os
 
-            from .kernels.flash_attention import flash_attention_trainable
+        from .kernels.flash_attention import flash_attention_trainable
 
-            interpret = os.environ.get("DIA_FLASH_INTERPRET") == "1"
-            # the trainable variant (custom VJP with flash backward kernels) is
-            # the single entry — identical forward, differentiable
-            return flash_attention_trainable(q, k, v, q_segment_ids, kv_segment_ids,
-                                             is_causal, 256, 512, interpret)
-        _warn_flash_fallback(q.shape, H)
+        interpret = os.environ.get("DIA_FLASH_INTERPRET") == "1"
+        # Mosaic tiles are 128 lanes wide: lane-pad head_dim up to 128 (the
+        # kernel handles time-axis padding itself).  Pre-scaling q keeps
+        # softmax(q·k/√H) exact — the kernel divides by √H_pad — and the
+        # zero-padded v columns are trimmed after.  Real Dia configs have
+        # head_dim 128 (no padding); this keeps small test/ablation configs
+        # on the SAME kernel code path instead of silently falling back.
+        Hpad = -(-H // 128) * 128
+        if Hpad != H:
+            q = q * math.sqrt(Hpad / H)
+            padw = ((0, 0), (0, 0), (0, 0), (0, Hpad - H))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        # the trainable variant (custom VJP with flash backward kernels) is
+        # the single entry — identical forward, differentiable
+        out = flash_attention_trainable(q, k, v, q_segment_ids, kv_segment_ids,
+                                        is_causal, 256, 512, interpret)
+        return out[..., :H] if Hpad != H else out
     return sdpa(q, k, v, mask, is_causal=is_causal)
-
-
-_flash_fallback_warned: set[tuple] = set()
-
-
-def _warn_flash_fallback(q_shape, head_dim) -> None:
-    """Warn once per shape when flash was requested but block-size constraints
-    (Tq >= 128, head_dim % 128 == 0 — Mosaic tile alignment) force the XLA
-    path, so a future non-128 head_dim config doesn't silently lose the kernel."""
-    key = (tuple(q_shape), head_dim)
-    if key not in _flash_fallback_warned:
-        _flash_fallback_warned.add(key)
-        import warnings
-
-        warnings.warn(
-            f"flash attention requested but falling back to XLA attention: "
-            f"q shape {tuple(q_shape)} (need seq >= 128 and head_dim % 128 == 0)",
-            stacklevel=3,
-        )
 
 
 def attention(
