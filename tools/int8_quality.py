@@ -140,8 +140,18 @@ def compare(params, config, steps: int = 256, seed: int = 0,
 
     d = config.data
     tf_n = min(max(n, 16), 64)
-    rng = np.random.default_rng(seed)
-    tgt = jnp.asarray(rng.integers(0, d.audio_eos_value, (1, tf_n, d.channels), dtype=np.int32))
+    if n >= 16:
+        # on-distribution: teacher-force the bf16 greedy trajectory (delayed,
+        # exactly as the decoder saw it during generation)
+        from dia_tts_prune_tpu.train import build_train_batch
+        from dia_tts_prune_tpu.tokenizer import encode_text as _enc
+
+        batch = build_train_batch(config, _enc(text, d.text_length)[None],
+                                  [out_bf[:tf_n]])
+        tgt = jnp.asarray(batch["decoder_input_ids"][:, :tf_n])
+    else:
+        rng = np.random.default_rng(seed)
+        tgt = jnp.asarray(rng.integers(0, d.audio_eos_value, (1, tf_n, d.channels), dtype=np.int32))
     ids = jnp.asarray(encode_text(text, config.data.text_length)[None])
     enc_padding = ids != d.text_pad_value
     enc_mask = create_attn_mask(enc_padding, enc_padding, is_causal=False)
@@ -176,8 +186,14 @@ def compare(params, config, steps: int = 256, seed: int = 0,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="Load TRAINED weights from a save_pretrained dir "
+                        "(e.g. tests/fixtures/trained_small) instead of "
+                        "random init — quality numbers on random weights are "
+                        "a worst case, not an estimate.")
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--text", type=str, default=DEFAULT_TEXT)
     p.add_argument("--mode", type=str, default="int8",
                    choices=["int8", "int4", "hybrid", "kv"])
     args = p.parse_args(argv)
@@ -192,17 +208,27 @@ def main(argv=None):
     except Exception:
         pass
 
-    from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
-    from dia_tts_prune_tpu.models.dia import init_params
+    if args.model_dir:
+        from dia_tts_prune_tpu.api import Dia
 
-    config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
-    params = init_params(config, jax.random.PRNGKey(args.seed), jnp.bfloat16)
+        dia = Dia.from_pretrained(args.model_dir, compute_dtype="bfloat16")
+        config, params = dia.config, dia.params
+        weights_label = f"trained:{Path(args.model_dir).name}"
+    else:
+        from dia_tts_prune_tpu.config import dia_1_6b_config, tiny_test_config
+        from dia_tts_prune_tpu.models.dia import init_params
+
+        config = tiny_test_config() if args.tiny else dia_1_6b_config(weight_dtype="bfloat16")
+        params = init_params(config, jax.random.PRNGKey(args.seed), jnp.bfloat16)
+        weights_label = "random"
     if args.mode == "kv":
         print(json.dumps(compare_kv_int8(params, config, steps=args.steps,
-                                         seed=args.seed)))
+                                         seed=args.seed, text=args.text,
+                                         weights_label=weights_label)))
     else:
         print(json.dumps(compare(params, config, steps=args.steps, seed=args.seed,
-                                 mode=args.mode)))
+                                 text=args.text, mode=args.mode,
+                                 weights_label=weights_label)))
 
 
 if __name__ == "__main__":
