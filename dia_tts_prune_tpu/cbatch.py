@@ -436,7 +436,12 @@ class ContinuousBatcher:
         self._cond = threading.Condition()
         self._running = True
         self.stats = {"requests": 0, "segments": 0, "completed": 0,
-                      "cancelled": 0, "max_live": 0}
+                      "cancelled": 0, "max_live": 0,
+                      # occupancy accounting: cb_segment computes ALL slots
+                      # (static shapes), so vacant lanes are pure waste —
+                      # occupied/capacity splits the preformed-batch gap into
+                      # vacancy vs scheduling overhead (tools/bench_cbatch.py)
+                      "lane_segments_occupied": 0, "lane_segments_capacity": 0}
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dia-continuous-batcher")
         self._worker.start()
@@ -872,6 +877,8 @@ class ContinuousBatcher:
                         self._mask, seg, self.cfg_filter_top_k,
                         self._dia.compute_dtype)
                     self.stats["segments"] += 1
+                    self.stats["lane_segments_occupied"] += live
+                    self.stats["lane_segments_capacity"] += self.n_slots
                     new_pending = (self._copy3(
                         self._state.stop, self._state.dec_step,
                         self._state.tokens), owners)

@@ -44,6 +44,11 @@ def main(argv=None):
     p.add_argument("--segment-steps", type=int, default=64)
     p.add_argument("--arrival-ms", type=float, default=250.0,
                    help="open-loop inter-arrival gap")
+    p.add_argument("--saturate", action="store_true",
+                   help="saturated offered load: all requests submitted at "
+                        "t=0 and at least 4x slots of them, so lanes stay "
+                        "full — separates lane-vacancy loss from scheduling "
+                        "overhead vs the preformed-batch ceiling")
     p.add_argument("--int8", action=argparse.BooleanOptionalAction, default=None,
                    help="packed int8 decoder weights (default: on for TPU)")
     p.add_argument("--dtype", type=str, default="bfloat16")
@@ -51,6 +56,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config smoke run")
     args = p.parse_args(argv)
+    if args.saturate:
+        args.arrival_ms = 0.0
+        args.requests = max(args.requests, 4 * args.slots)
 
     import jax
 
@@ -97,6 +105,8 @@ def main(argv=None):
     # compiles cost minutes; exclude them from the trace)
     cb.submit("[S1] warmup.", temperature=args.temperature,
               seed=1, max_tokens=min(48, max_tokens)).result(1800)
+    cb.stats.update(segments=0, max_live=0,
+                    lane_segments_occupied=0, lane_segments_capacity=0)
 
     texts = [f"[S1] Request {i}: the quick brown fox jumps over the lazy dog. "
              f"[S2] Benchmark stream number {i}." for i in range(args.requests)]
@@ -147,6 +157,10 @@ def main(argv=None):
         "wall_seconds": round(wall, 3),
         "segments": cb.stats["segments"],
         "max_live": cb.stats["max_live"],
+        "lane_occupancy": round(
+            cb.stats["lane_segments_occupied"]
+            / max(1, cb.stats["lane_segments_capacity"]), 4),
+        "saturate": bool(args.saturate),
         "int8": bool(want_int8),
         "params": n_params,
         "device": str(jax.devices()[0]),

@@ -83,12 +83,66 @@ def compare_kv_int8(params, config, steps: int = 256, seed: int = 0,
     n = min(a.shape[0], b.shape[0])
     eq = a[:n] == b[:n]
     row_eq = eq.all(axis=1) if n else np.array([])
+
+    # Teacher-forced replay: feed the bf16-cache trajectory's delayed inputs
+    # step-by-step under BOTH cache formats and compare per-step argmax +
+    # logit error.  Greedy trajectories decouple at the first near-tie flip,
+    # so this is the number that actually characterizes the int8 cache.
+    import jax
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.models.dia import (
+        decode_step_scan,
+        encoder_forward,
+        new_self_cache,
+        precompute_cross_cache,
+    )
+    from dia_tts_prune_tpu.state import cross_attention_mask, new_encoder_state
+    from dia_tts_prune_tpu.tokenizer import encode_text
+    from dia_tts_prune_tpu.train import build_train_batch
+
+    tf_n = int(min(max(n, 16), 96))
+    base_codes = a if n else np.zeros((16, config.data.channels), np.int32)
+    batch = build_train_batch(config, encode_text(text, config.data.text_length)[None],
+                              [base_codes[:tf_n]])
+    dec_in = jnp.asarray(batch["decoder_input_ids"][:, :tf_n])
+    enc = jnp.asarray(encode_text(text, config.data.text_length)[None])
+    st = new_encoder_state(config, enc)
+    eo = encoder_forward(params_q, config, enc, st.positions, st.attn_mask, jnp.bfloat16)
+    cc = precompute_cross_cache(params_q, config, eo, st.positions)
+    cmask = cross_attention_mask(st.padding_mask)
+
+    @jax.jit
+    def step(tgt, pos, slot, cache):
+        return decode_step_scan(params_q, config, tgt, pos, slot, cache, cc,
+                                cmask, jnp.bfloat16)
+
+    per_mode = {}
+    for qflag in (False, True):
+        cache = (new_self_cache(config, 1, max_len=tf_n, quant=True) if qflag
+                 else new_self_cache(config, 1, max_len=tf_n, dtype=jnp.bfloat16))
+        arg, logs = [], []
+        for t in range(tf_n):
+            logits, cache = step(dec_in[:, t:t + 1],
+                                 jnp.full((1, 1), t, jnp.int32),
+                                 jnp.asarray(t, jnp.int32), cache)
+            ch = np.asarray(logits[0, -1], np.float32)  # [C, V]
+            arg.append(ch.argmax(-1))
+            logs.append(ch)
+        per_mode[qflag] = (np.stack(arg), np.stack(logs))
+    tf_agree = float((per_mode[False][0] == per_mode[True][0]).mean())
+    delta = np.abs(per_mode[True][1] - per_mode[False][1])
+    scale = np.abs(per_mode[False][1]).mean() + 1e-9
+
     return {
         "metric": "kv_int8_quality_vs_bf16_cache",
         "greedy_token_agreement": round(float(eq.mean()), 4) if n else None,
         "first_divergence_step": (int(np.argmin(row_eq))
                                   if n and not row_eq.all() else None),
         "rows_compared": int(n),
+        "teacher_forced_argmax_agreement": round(tf_agree, 4),
+        "teacher_forced_mean_abs_logit_delta_rel": round(float(delta.mean() / scale), 5),
+        "teacher_forced_steps": tf_n,
         "weights": weights_label,
     }
 
