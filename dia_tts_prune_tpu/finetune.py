@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     t.add_argument("--loss-mode", type=str, default="delayed", choices=["delayed", "reference"])
+    t.add_argument("--qat", type=str, default="none",
+                   choices=["none", "int8", "int4", "int4_hybrid"],
+                   help="Quantization-aware training: run the forward through "
+                        "the serving quantizer (decoder-scope fake-quant, "
+                        "straight-through gradients) so int8/int4 export is "
+                        "near-lossless. Full fine-tune only.")
     t.add_argument("--no-remat", action="store_true")
     t.add_argument("--logging-steps", type=int, default=10)
     t.add_argument("--save-steps", type=int, default=200)
@@ -120,6 +126,7 @@ def main(argv=None) -> int:
         lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha, dropout=args.lora_dropout,
                         target_modules=tuple(args.lora_target_modules)),
         loss_mode=args.loss_mode,
+        qat_mode=args.qat,
         remat=not args.no_remat,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
@@ -142,7 +149,8 @@ def main(argv=None) -> int:
         print(f"Resumed from step {step} ({args.resume_from})")
 
     print(f"Fine-tuning: {len(dataset)} items, {num_training_steps} steps, "
-          f"mode={args.adapter_mode}")
+          f"mode={args.adapter_mode}"
+          + (f", qat={args.qat}" if args.qat != "none" else ""))
     from .utils.prefetch import prefetch
 
     t0 = time.time()
@@ -186,6 +194,23 @@ def main(argv=None) -> int:
         save_file({k: np.asarray(v, np.float32) for k, v in to_torch_state_dict(final, config).items()},
                   str(out / "model.safetensors"))
         print(f"Saved fine-tuned model to {out / 'model.safetensors'}")
+    if dia.dac_params is not None:
+        # keep the output dir self-contained, like api.save_pretrained: the
+        # codec weights were needed to fine-tune, so the result should be
+        # generable without hunting down the same DAC checkpoint again
+        import json as _json
+        from dataclasses import asdict
+
+        from safetensors.numpy import save_file as _save_file
+
+        from .api import _flatten_tree
+
+        _save_file({k: np.ascontiguousarray(v)
+                    for k, v in _flatten_tree(dia.dac_params).items()},
+                   str(out / "dac.safetensors"))
+        (out / "dac_config.json").write_text(
+            _json.dumps(asdict(dia.dac_config), indent=2))
+        print(f"Bundled DAC weights into {out}")
     return 0
 
 

@@ -125,6 +125,54 @@ def quantize_params_int8(params: Params) -> Params:
     return _map_kernels(params, fq)
 
 
+def fake_quant_ste(w: jax.Array, fq: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward sees ``fq``, backward sees ``w``.
+
+    round() has zero gradient almost everywhere, so QAT passes gradients
+    straight through the quantizer: d(loss)/d(w) := d(loss)/d(fq)."""
+    return w + jax.lax.stop_gradient(fq.astype(w.dtype) - w)
+
+
+def fake_quant_params_ste(
+    params: Params, mode: str, scope: str | None = "decoder",
+    group: int | None = 128,
+) -> Params:
+    """Quantization-aware-training view of the params.
+
+    Every dense kernel inside ``scope`` is replaced by its fake-quantized
+    value wired through a straight-through estimator, so the forward pass
+    sees EXACTLY the serving quantizer's numerics (same per-column /
+    per-group symmetric grids as ``quantize_params_int8_packed`` /
+    ``quantize_params_int4_packed``) while gradients flow to the underlying
+    fp weights.  ``mode``: ``int8`` | ``int4`` (grouped, ``group`` rows per
+    scale) | ``int4_hybrid`` (int4 MLP kernels, int8 elsewhere — the hybrid
+    serving config).  ``scope`` defaults to ``decoder``, matching the
+    serving quantization scope (the encoder serves at bf16).
+
+    Scales are recomputed from the live weights every step (dynamic-range
+    QAT): the grid tracks the weights as they move, and at export time
+    ``quantize_params_int8_packed``/``int4`` reproduce the exact forward
+    numerics seen in training.
+    """
+    if mode not in ("int8", "int4", "int4_hybrid"):
+        raise ValueError(f"Unknown QAT mode: {mode!r}")
+
+    def fq(w, path):
+        a = _quant_args_for(path)
+        use_int4 = mode == "int4" or (mode == "int4_hybrid" and "mlp" in path)
+        if use_int4:
+            deq = dequantize4(quantize_int4(w, group=group, **a), dtype=w.dtype)
+        else:
+            deq = dequantize(quantize_int8(w, **a), dtype=w.dtype)
+        return fake_quant_ste(w, deq)
+
+    if scope is not None and scope in params:
+        out = dict(params)
+        out[scope] = _map_kernels(params[scope], lambda w, p: fq(w, (scope,) + p))
+        return out
+    return _map_kernels(params, fq)
+
+
 def quantize_params_int8_packed(
     params: Params, scope: str | None = "decoder", fused: bool = True
 ) -> Params:

@@ -59,6 +59,7 @@ class TrainConfig:
     adapter_mode: str = "none"  # none | lora
     lora: LoraConfig = LoraConfig()
     loss_mode: str = "delayed"  # delayed (inference-consistent) | reference
+    qat_mode: str = "none"  # none | int8 | int4 | int4_hybrid (decoder-scope STE fake-quant)
     remat: bool = True
     compute_dtype: str = "float32"
     seed: int = 42
@@ -121,8 +122,18 @@ def compute_loss(
     batch: dict[str, jax.Array],
     compute_dtype=jnp.float32,
     remat: bool = False,
+    qat_mode: str = "none",
 ) -> jax.Array:
-    """Teacher-forced CE with pad masking (finetune.py:446-451, 517-526)."""
+    """Teacher-forced CE with pad masking (finetune.py:446-451, 517-526).
+
+    ``qat_mode`` != "none" runs the forward through the serving quantizer's
+    numerics (decoder-scope fake-quant, straight-through gradients — see
+    ops/quant.py::fake_quant_params_ste), so the trained weights land on a
+    loss surface where int8/int4 export is near-free."""
+    if qat_mode != "none":
+        from .ops.quant import fake_quant_params_ste
+
+        params = fake_quant_params_ste(params, qat_mode)
     d = config.data
     text_ids = batch["text_ids"]
     B, T_text = text_ids.shape
@@ -191,7 +202,7 @@ def make_optimizer(tc: TrainConfig, num_training_steps: int) -> optax.GradientTr
 
 @partial(
     jax.jit,
-    static_argnames=("config", "optimizer", "compute_dtype_name", "remat"),
+    static_argnames=("config", "optimizer", "compute_dtype_name", "remat", "qat_mode"),
     donate_argnames=("params", "opt_state"),
 )
 def train_step(
@@ -202,11 +213,12 @@ def train_step(
     optimizer: optax.GradientTransformation,
     compute_dtype_name: str = "float32",
     remat: bool = True,
+    qat_mode: str = "none",
 ):
     """One full-fine-tune update. Returns (params, opt_state, loss, grad_norm)."""
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[compute_dtype_name]
     loss, grads = jax.value_and_grad(
-        lambda p: compute_loss(p, config, batch, dtype, remat=remat)
+        lambda p: compute_loss(p, config, batch, dtype, remat=remat, qat_mode=qat_mode)
     )(params)
     grad_norm = optax.global_norm(grads)
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
@@ -283,6 +295,12 @@ class Trainer:
         self.optimizer = make_optimizer(tc, num_training_steps)
         self.global_step = 0
 
+        if tc.qat_mode != "none" and tc.adapter_mode == "lora":
+            raise ValueError(
+                "QAT composes with full fine-tuning only: at serving the "
+                "adapter is merged THEN quantized, so fake-quanting a frozen "
+                "base under fp LoRA deltas would train against different "
+                "numerics than it serves. Merge first, then QAT-finetune.")
         if tc.adapter_mode == "lora":
             self.base_params = params
             adapter = init_lora(params, tc.lora, jax.random.PRNGKey(tc.seed))
@@ -314,7 +332,7 @@ class Trainer:
         else:
             self.params, self.opt_state, loss, gnorm = train_step(
                 self.params, self.opt_state, batch, self.config, self.optimizer,
-                self.tc.compute_dtype, self.tc.remat,
+                self.tc.compute_dtype, self.tc.remat, self.tc.qat_mode,
             )
         self.global_step += 1
         return {"loss": float(loss), "grad_norm": float(gnorm), "step": self.global_step}

@@ -28,13 +28,22 @@ def _load_reference_model_module():
     import importlib.util
 
     load_reference()  # installs patched dia.config/state/layers/audio
+    added = []
     for name in ("dac", "torchaudio", "soundfile"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+            added.append(name)
     spec = importlib.util.spec_from_file_location("dia.model", REFERENCE / "dia" / "model.py")
     mod = importlib.util.module_from_spec(spec)
     sys.modules["dia.model"] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        # drop the spec-less stubs: dia.model keeps its own references, but a
+        # lingering sys.modules entry with __spec__=None breaks any later
+        # importlib.util.find_spec("soundfile") (peft/transformers probe it)
+        for name in added:
+            del sys.modules[name]
     return mod
 
 
