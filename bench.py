@@ -302,10 +302,12 @@ def main(argv=None):
         )
 
         if args.int4 == "full":
-            qparams = quantize_params_int4_packed(params, nibble=True)
+            qparams = quantize_params_int4_packed(params, nibble=True,
+                                                  halfsplit=True)
         else:  # hybrid: int4 MLP (57% of layer bytes) + int8 rest
             qparams = quantize_params_int8_packed(
-                quantize_params_int4_packed(params, mlp_only=True, nibble=True),
+                quantize_params_int4_packed(params, mlp_only=True, nibble=True,
+                                            halfsplit=True),
                 fused=False)
         del params
         gen = DiaGenerator(qparams, config, args.dtype)

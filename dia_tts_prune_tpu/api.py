@@ -512,7 +512,7 @@ class Dia:
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)
 
     def quantize_int4(self, group: int | None = 128, mlp_only: bool = False,
-                      nibble: bool = True) -> None:
+                      nibble: bool = True, halfsplit: bool = True) -> None:
         """Swap decoder dense kernels to packed int4 (grouped scales).
 
         Quarter-byte weight streaming on the bandwidth-bound decode loop —
@@ -525,11 +525,17 @@ class Dia:
         numbers: docs/PERF.md; quality proxy tool: tools/int8_quality.py
         ``--mode int4|hybrid``.  ``nibble`` (default) stores two int4 rows
         per int8 byte — identical numerics, no ``S4``-dtype array (required
-        on remote-attached TPUs whose int4 transfer is broken)."""
+        on remote-attached TPUs whose int4 transfer is broken).
+        ``halfsplit`` (default) pairs contraction halves per byte so the
+        decode GEMV runs through the Pallas in-register-unpack kernel
+        (ops/kernels/int4_gemv.py) on TPU — the layout that actually halves
+        weight HBM traffic vs int8; same quantization grid, falls back
+        per-kernel when shapes misalign."""
         from .ops.quant import quantize_params_int4_packed, quantize_params_int8_packed
 
         self.params = quantize_params_int4_packed(
-            self.params, group=group, mlp_only=mlp_only, nibble=nibble)
+            self.params, group=group, mlp_only=mlp_only, nibble=nibble,
+            halfsplit=halfsplit)
         if mlp_only:
             self.params = quantize_params_int8_packed(self.params, fused=False)
         self.generator = DiaGenerator(self.params, self.config, self.compute_dtype)

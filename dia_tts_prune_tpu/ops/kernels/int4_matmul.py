@@ -104,6 +104,42 @@ def int4_matmul_nibble_grouped(x, w_b, scale):
     return y.astype(x.dtype)
 
 
+def int4_matmul_halfsplit(x, w_b, scale):
+    """Halfsplit nibble layout, per-column scales: bytes [K//2, N] pairing
+    row k (lo) with row k + K/2 (hi).  Both half-dots consume CONTIGUOUS
+    activation slices — no strided gathers:
+
+      y = x[:, :K/2] @ sext(b << 4 >> 4)  +  x[:, K/2:] @ (b >> 4)
+    """
+    dt = _mm_dtype(x)
+    K2 = w_b.shape[0]
+    wl = ((w_b << 4) >> 4).astype(dt)
+    wh = (w_b >> 4).astype(dt)
+    y = jnp.dot(x[:, :K2].astype(dt), wl, preferred_element_type=jnp.float32)
+    y = y + jnp.dot(x[:, K2:].astype(dt), wh, preferred_element_type=jnp.float32)
+    return (y * scale[None, :]).astype(x.dtype)
+
+
+def int4_matmul_halfsplit_grouped(x, w_b, scale):
+    """Halfsplit nibble layout, grouped scales: bytes [K//2, N], scale
+    [K//G, N].  The lo plane covers original rows [0, K/2) — scale rows
+    [0, K/(2G)) — and the hi plane rows [K/2, K): group alignment is
+    guaranteed at pack time ((K/2) % G == 0, ops/quant.py)."""
+    n_groups, N = scale.shape
+    K2 = w_b.shape[0]
+    gh = n_groups // 2
+    dt = _mm_dtype(x)
+    wl = ((w_b << 4) >> 4).astype(dt).reshape(gh, K2 // gh, N)
+    wh = (w_b >> 4).astype(dt).reshape(gh, K2 // gh, N)
+    xl = x[:, :K2].reshape(x.shape[0], gh, K2 // gh).astype(dt)
+    xh = x[:, K2:].reshape(x.shape[0], gh, K2 // gh).astype(dt)
+    pl_ = jnp.einsum("bkg,kgn->bkn", xl, wl, preferred_element_type=jnp.float32)
+    ph = jnp.einsum("bkg,kgn->bkn", xh, wh, preferred_element_type=jnp.float32)
+    part = jnp.concatenate([pl_, ph], axis=1)  # [B, n_groups, N]
+    y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def int4_matmul_reference(x, w_q, scale):
     """Dequantize-then-dot (numerics reference for both layouts)."""
     if w_q.ndim == 3:

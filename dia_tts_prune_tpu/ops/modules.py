@@ -90,6 +90,29 @@ def _dense_general_q4(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
         int4_matmul_upcast,
     )
 
+    if getattr(qk, "halfsplit", False):
+        import os as _os
+
+        from .kernels.int4_gemv import halfsplit_supported, int4_gemv_halfsplit
+        from .kernels.int4_matmul import (
+            int4_matmul_halfsplit,
+            int4_matmul_halfsplit_grouped,
+        )
+
+        interpret = _os.environ.get("DIA_INT4_INTERPRET") == "1"
+        N = _math.prod(qk.out_shape)
+        use_kernel = (
+            (jax.default_backend() in ("tpu", "axon") or interpret)
+            and _os.environ.get("DIA_INT4_IMPL", "pallas") == "pallas"
+            and halfsplit_supported(x2.shape[0], K, N, qk.group)
+        )
+        if use_kernel:
+            y = int4_gemv_halfsplit(x2, qk.values, qk.scale, interpret=interpret)
+        elif qk.group is None:
+            y = int4_matmul_halfsplit(x2, qk.values, qk.scale.reshape(-1))
+        else:
+            y = int4_matmul_halfsplit_grouped(x2, qk.values, qk.scale)
+        return y.reshape(*lead, *qk.out_shape)
     if qk.nibble:
         if qk.group is None:
             y = int4_matmul_nibble(x2, qk.values, qk.scale.reshape(-1))

@@ -243,21 +243,34 @@ class Quantized4Kernel:
     contraction splits by row parity so unpack is two arithmetic shifts
     fused into the dot operand reads (ops/kernels/int4_matmul.py).
     Grouped nibble keeps values FLAT ``[K//2, N]`` with scale ``[K//G, N]``.
+
+    halfsplit: nibble layout paired across CONTRACTION HALVES instead of
+    row parity — byte k2 = row k2 (low nibble) | row k2 + K/2 (high) —
+    so both the XLA contraction and the Pallas int4 GEMV kernel
+    (ops/kernels/int4_gemv.py) consume CONTIGUOUS activation/weight halves:
+    no strided slices, no sublane shuffles, shift-only unpack.  Same
+    quantization grid (values and scales identical to the parity layout;
+    only the stored byte order differs).  Requires (K/2) % group == 0 so
+    scale rows split cleanly between halves.
     """
 
-    __slots__ = ("values", "scale", "in_shape", "out_shape", "group", "nibble")
+    __slots__ = ("values", "scale", "in_shape", "out_shape", "group", "nibble",
+                 "halfsplit")
 
-    def __init__(self, values, scale, in_shape, out_shape, group, nibble=False):
+    def __init__(self, values, scale, in_shape, out_shape, group, nibble=False,
+                 halfsplit=False):
         self.values = values
         self.scale = scale
         self.in_shape = tuple(in_shape)
         self.out_shape = tuple(out_shape)
         self.group = group
         self.nibble = bool(nibble)
+        self.halfsplit = bool(halfsplit)
 
     def tree_flatten(self):
         return (self.values, self.scale), (
-            self.in_shape, self.out_shape, self.group, self.nibble)
+            self.in_shape, self.out_shape, self.group, self.nibble,
+            self.halfsplit)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -266,6 +279,7 @@ class Quantized4Kernel:
     def __repr__(self):
         return (f"Quantized4Kernel(values={getattr(self.values, 'shape', None)}, "
                 f"group={self.group}, nibble={self.nibble}, "
+                f"halfsplit={self.halfsplit}, "
                 f"in_shape={self.in_shape}, out_shape={self.out_shape})")
 
 
@@ -276,9 +290,19 @@ def _pack_nibble_rows(q: jax.Array) -> jax.Array:
     return ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
 
 
+def _pack_nibble_rows_halfsplit(q: jax.Array) -> jax.Array:
+    """int8 rows ∈ [-7, 7] ``[*, K, N]`` → bytes ``[*, K//2, N]``, pairing
+    row k (low nibble) with row k + K/2 (high): contiguous-half layout for
+    the Pallas int4 GEMV (ops/kernels/int4_gemv.py)."""
+    K = q.shape[-2]
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2:, :]
+    return ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
+
+
 def quantize_int4(
     w: jax.Array, n_in: int = 1, stacked: bool = False, group: int | None = 128,
-    nibble: bool = False,
+    nibble: bool = False, halfsplit: bool = False,
 ) -> Quantized4Kernel:
     """Symmetric int4: q = round(w / s) ∈ [-7, 7].
 
@@ -291,6 +315,11 @@ def quantize_int4(
     instead of an ``S4``-dtype array; identical numerics, works on backends
     with broken int4 transfer, and the XLA contraction streams half the int8
     bytes (see Quantized4Kernel).  Requires even K (and even ``group``).
+
+    ``halfsplit`` — pair contraction HALVES per byte instead of adjacent
+    rows (see Quantized4Kernel): the layout the Pallas int4 GEMV consumes.
+    Same grid/scales; falls back to parity pairing when (K/2) % group != 0
+    or K/2 is odd.
     """
     lead = w.shape[:1] if stacked else ()
     in_shape = w.shape[len(lead): len(lead) + n_in]
@@ -304,29 +333,37 @@ def quantize_int4(
         group = min(group, K)
         if K % group or (nibble and group % 2):
             group = None  # indivisible: fall back to per-column scales
+    if halfsplit and not (nibble and K % 2 == 0
+                          and (group is None or (K // 2) % group == 0)):
+        halfsplit = False  # halves must be group-aligned
+    pack = _pack_nibble_rows_halfsplit if halfsplit else _pack_nibble_rows
     if group is None:
         absmax = jnp.max(jnp.abs(w2), axis=-2, keepdims=True)  # [*, 1, N]
         scale = jnp.maximum(absmax, 1e-12) / 7.0
         q = jnp.clip(jnp.round(w2 / scale), -7, 7)
-        v = _pack_nibble_rows(q.astype(jnp.int8)) if nibble else q.astype(jnp.int4)
+        v = pack(q.astype(jnp.int8)) if nibble else q.astype(jnp.int4)
         return Quantized4Kernel(
-            v, scale.reshape(*lead, N), in_shape, out_shape, None, nibble)
+            v, scale.reshape(*lead, N), in_shape, out_shape, None, nibble,
+            halfsplit)
     wg = w2.reshape(*lead, K // group, group, N)
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # [*, K//G, 1, N]
     scale = jnp.maximum(absmax, 1e-12) / 7.0
     q = jnp.clip(jnp.round(wg / scale), -7, 7)
     if nibble:
-        v = _pack_nibble_rows(q.astype(jnp.int8).reshape(*lead, K, N))
+        v = pack(q.astype(jnp.int8).reshape(*lead, K, N))
     else:
         v = q.astype(jnp.int4)
     return Quantized4Kernel(
-        v, scale.reshape(*lead, K // group, N), in_shape, out_shape, group, nibble)
+        v, scale.reshape(*lead, K // group, N), in_shape, out_shape, group,
+        nibble, halfsplit)
 
 
-def unpack_nibble_rows(b: jax.Array) -> jax.Array:
+def unpack_nibble_rows(b: jax.Array, halfsplit: bool = False) -> jax.Array:
     """Bytes ``[*, K//2, N]`` → int8 rows ``[*, K, N]`` (sign-extended)."""
     lo = (b << 4) >> 4
     hi = b >> 4
+    if halfsplit:
+        return jnp.concatenate([lo, hi], axis=-2)  # [*, K, N]
     q = jnp.stack([lo, hi], axis=-2)  # [*, K//2, 2, N]
     return q.reshape(*b.shape[:-2], 2 * b.shape[-2], b.shape[-1])
 
@@ -334,7 +371,8 @@ def unpack_nibble_rows(b: jax.Array) -> jax.Array:
 def dequantize4(qk: Quantized4Kernel, dtype=jnp.float32) -> jax.Array:
     """Reconstruct the kernel at its logical shape."""
     if qk.nibble:
-        v = unpack_nibble_rows(qk.values).astype(jnp.float32)  # [*, K, N]
+        v = unpack_nibble_rows(
+            qk.values, getattr(qk, "halfsplit", False)).astype(jnp.float32)  # [*, K, N]
         lead = v.shape[:-2]
         K, N = v.shape[-2], v.shape[-1]
         if qk.group is None:
@@ -361,6 +399,7 @@ def quantize_params_int4_packed(
     group: int | None = 128,
     mlp_only: bool = False,
     nibble: bool = False,
+    halfsplit: bool = False,
 ) -> Params:
     """Pack dense kernels as Quantized4Kernels (int4 + grouped scales).
 
@@ -377,7 +416,8 @@ def quantize_params_int4_packed(
         if mlp_only and "mlp" not in path:
             return w
         a = _quant_args_for(path)
-        return quantize_int4(w, group=group, nibble=nibble, **a)
+        return quantize_int4(w, group=group, nibble=nibble,
+                             halfsplit=halfsplit, **a)
 
     if scope is not None and scope in params:
         out = dict(params)

@@ -123,6 +123,33 @@ def main():
         x, _ = jax.lax.scan(layer, x, packs)
         return x
 
+    from dia_tts_prune_tpu.ops.kernels.int4_gemv import int4_gemv_halfsplit
+    from dia_tts_prune_tpu.ops.kernels.int4_matmul import (
+        int4_matmul_halfsplit_grouped,
+    )
+    from dia_tts_prune_tpu.ops.quant import quantize_int4
+
+    def pack_halfsplit(w):  # [L, K, N] -> bytes [L, K/2, N], scale [L, K/G, N]
+        qk = quantize_int4(w, stacked=True, group=G, nibble=True, halfsplit=True)
+        assert qk.halfsplit, "halfsplit pack fell back (group misalignment?)"
+        return qk.values, qk.scale
+
+    def chain_halfsplit_pallas(x, packs):
+        def layer(x, ws):
+            ba, sa, bb, sb = ws
+            h = jnp.maximum(int4_gemv_halfsplit(x, ba, sa), 0)
+            return int4_gemv_halfsplit(h, bb, sb).astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
+    def chain_halfsplit_xla(x, packs):
+        def layer(x, ws):
+            ba, sa, bb, sb = ws
+            h = jnp.maximum(int4_matmul_halfsplit_grouped(x, ba, sa), 0)
+            return int4_matmul_halfsplit_grouped(h, bb, sb).astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs)
+        return x
+
     q1_8, s1_8 = pack_int8(w1)
     q2_8, s2_8 = pack_int8(w2)
     b1, sb1 = pack_nibble(w1)
@@ -206,6 +233,10 @@ def main():
         "int4": lambda: bench(chain_q, (q1_4, s1_4, q2_4, s2_4)),
         "int4_grouped": lambda: bench(
             chain_q_grouped, (q1_4g, s1_4g, q2_4g, s2_4g)),
+        "halfsplit_pallas": lambda: bench(
+            chain_halfsplit_pallas, pack_halfsplit(w1) + pack_halfsplit(w2)),
+        "halfsplit_xla": lambda: bench(
+            chain_halfsplit_xla, pack_halfsplit(w1) + pack_halfsplit(w2)),
     }
     run_set = (args.only.split(",") if args.only
                else ["nibble", "nibble_grouped", "int8", "bf16"])
