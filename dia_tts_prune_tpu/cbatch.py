@@ -60,6 +60,7 @@ from .generate import (
     _cache_len_for,
     _dtype_of,
     _kv_cache_quant,
+    _maybe_unpack_s4,
     _resolve_seed,
     prepare_stream,
 )
@@ -270,6 +271,7 @@ def cb_segment(
     frozen and their cache re-commits rewrite identical bytes."""
     d = config.data
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
     delay = jnp.asarray(d.delay_pattern, dtype=jnp.int32)
     max_delay = d.max_delay
     eos, pad = d.audio_eos_value, d.audio_pad_value

@@ -105,6 +105,29 @@ def _kv_cache_quant(params, batch: bool = False) -> bool:
     return env == "1" or jax.default_backend() in ("tpu", "axon")
 
 
+def _maybe_unpack_s4(params):
+    """Nibble-int4 kernels → XLA-native S4 kernels, inside the jit.
+
+    S4 (packed-int4) arrays cannot cross a jit/transfer boundary on
+    remote-attached backends (axon RecursionError), but they work perfectly
+    as in-program values: convert the transferable nibble bytes ONCE at the
+    top of the compiled generate program, before the decode loop, and XLA
+    keeps the packed tensor resident across steps with the int4→bf16 upcast
+    fused into each dot's operand read.  Measured 0.45/0.51 ms (plain /
+    grouped-scale) per 18-layer MLP GEMV chain vs 0.84 ms int8 and 1.01 ms
+    for the best Pallas shift-unpack kernel (tools/probe_s4_device.py,
+    docs/PERF.md): the only int4 impl on this stack that streams at true
+    4-bit density.  ``DIA_INT4_S4=0`` opts out (trace-time flag); identity
+    for trees without nibble int4 kernels."""
+    import os
+
+    if os.environ.get("DIA_INT4_S4", "1") == "0":
+        return params
+    from .ops.quant import unpack_params_s4
+
+    return unpack_params_s4(params)
+
+
 def _decode_step_fn(params=None, batch: bool = False):
     """Pick the decode-step implementation for these params.
 
@@ -468,6 +491,7 @@ def generate_fused(
     per bucket, same tokens — exact parity with the unbucketed program.
     """
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
     prefill_step = int_args[0]
     max_tokens = int_args[1]
     key = jax.random.PRNGKey(int_args[2])
@@ -565,6 +589,7 @@ def generate_fused_batch(
     to batched serving).
     """
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
     d = config.data
     N = tokens_buf.shape[0]
     max_tokens = int_args[0]
@@ -704,6 +729,7 @@ def prepare_stream(
     ``generate_fused`` — a prompted stream's yields concatenate to the
     prompted offline run bit-for-bit."""
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
     prefill_step = int_args[0]
     cross_cache, cross_mask, padding_mask = _conditioning(
         params, config, enc_input, compute_dtype, cross_window
@@ -762,6 +788,7 @@ def decode_segment(
     while generation continues — a serving capability the reference lacks.
     """
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
 
     def cond(s: DecodeLoopState):
         return (s.dec_step < jnp.minimum(segment_end, max_tokens - 1)) & (~s.stop)

@@ -37,21 +37,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(K2: int, group: int | None, cdt):
+def _make_kernel(K2: int, group: int | None, cdt, shift_width: int = 32):
     """Kernel body for one [B, tile_n] output block: full-K reduction.
 
-    Unpack shifts run in int32 (Mosaic rejects ``arith.shli`` on int8),
-    dequantization multiplies the converted planes by their grouped scales
-    in registers, and each plane contracts in ONE MXU dot — the first
-    kernel revision did one dot per (group, plane) and measured
-    compute-bound at 30×+ the DMA time (16–64 serialized [B,128]×[128,TN]
-    micro-dots per grid step).
+    Unpack shifts run in a wide integer type (Mosaic rejects ``arith.shli``
+    on int8; ``shift_width`` selects i32 or i16 — i16 halves the register
+    traffic of the unpack), dequantization multiplies the converted planes
+    by their grouped scales in registers, and each plane contracts in ONE
+    MXU dot — the first kernel revision did one dot per (group, plane) and
+    measured compute-bound at 30×+ the DMA time (16–64 serialized
+    [B,128]×[128,TN] micro-dots per grid step).
     """
+    wdt = jnp.int32 if shift_width == 32 else jnp.int16
+    sext = shift_width - 4
 
     def kernel(x_ref, w_ref, s_ref, o_ref):
         x = x_ref[:]                       # [B, K] compute dtype
-        w32 = w_ref[:].astype(jnp.int32)   # Mosaic legalizes shifts on i32
-        lo8 = (w32 << 28) >> 28            # only (arith.shli on i8 is rejected)
+        w32 = w_ref[:].astype(wdt)         # Mosaic legalizes shifts on i16/i32
+        lo8 = (w32 << sext) >> sext        # only (arith.shli on i8 is rejected)
         hi8 = w32 >> 4
         xl = x[:, :K2]
         xh = x[:, K2:]
@@ -93,13 +96,16 @@ def halfsplit_supported(B: int, K: int, N: int, group: int | None) -> bool:
     return B <= 64
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret", "shift_width", "tile_cap"))
 def int4_gemv_halfsplit(
     x: jax.Array,       # [B, K] activations (bf16/f32)
     w_b: jax.Array,     # [K//2, N] int8 bytes, halfsplit nibble layout
     scale: jax.Array,   # [K//G, N] f32 grouped | [N] per-column
     tile_n: int = 512,
     interpret: bool = False,
+    shift_width: int = 32,
+    tile_cap: int = 2 * 1024 * 1024,
 ) -> jax.Array:
     """Returns x @ dequant(w_b, scale) in x.dtype, shape [B, N]."""
     B, K = x.shape
@@ -107,8 +113,8 @@ def int4_gemv_halfsplit(
     assert K2 * 2 == K, (K, w_b.shape)
     grouped = scale.ndim == 2
     group = K // scale.shape[0] if grouped else None
-    # keep the streamed byte block ≤ ~2 MB (double-buffered in VMEM)
-    while K2 * tile_n > 2 * 1024 * 1024 and tile_n > 128:
+    # keep the streamed byte block ≤ tile_cap (double-buffered in VMEM)
+    while K2 * tile_n > tile_cap and tile_n > 128:
         tile_n //= 2
     tile_n = min(tile_n, N)
     grid = (pl.cdiv(N, tile_n),)
@@ -119,7 +125,7 @@ def int4_gemv_halfsplit(
         interpret or jax.default_backend() == "cpu") and x.dtype == jnp.bfloat16 \
         else x.dtype
     return pl.pallas_call(
-        _make_kernel(K2, group, cdt),
+        _make_kernel(K2, group, cdt, shift_width),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, K), lambda j: (0, 0), memory_space=pltpu.VMEM),

@@ -368,6 +368,58 @@ def unpack_nibble_rows(b: jax.Array, halfsplit: bool = False) -> jax.Array:
     return q.reshape(*b.shape[:-2], 2 * b.shape[-2], b.shape[-1])
 
 
+def unpack_to_s4(qk: Quantized4Kernel) -> Quantized4Kernel:
+    """Nibble-byte kernel → XLA-native int4 (S4 dtype) kernel. Traceable.
+
+    MUST run inside a jit on remote-attached backends: S4 arrays work on
+    device but crash the moment one crosses a jit/transfer boundary (axon
+    RecursionError — tools/probe_s4_device.py, tools/probe_int4_deviceput.py).
+    Called once at the top of the fused generate programs, BEFORE the decode
+    loop, so XLA holds the packed-int4 tensor resident across steps and
+    fuses the int4→bf16 upcast into each dot's HBM operand read.  Measured
+    0.45–0.51 ms per 18-layer MLP GEMV chain vs 0.84 ms int8 and 1.01 ms for
+    the best Pallas shift-unpack kernel (docs/PERF.md round 4): XLA's native
+    4-bit storage is the only path that actually streams at 4-bit density.
+
+    Grid/scales are untouched — numerics identical to the nibble layout.
+    """
+    if not qk.nibble:
+        return qk
+    v8 = unpack_nibble_rows(qk.values, qk.halfsplit)  # [*, K, N] int8
+    v4 = v8.astype(jnp.int4)
+    if qk.group is not None:
+        lead = v4.shape[:-2]
+        K, N = v4.shape[-2], v4.shape[-1]
+        v4 = v4.reshape(*lead, K // qk.group, qk.group, N)
+    return Quantized4Kernel(
+        v4, qk.scale, qk.in_shape, qk.out_shape, qk.group,
+        nibble=False, halfsplit=False)
+
+
+def unpack_params_s4(params: Params) -> Params:
+    """Map ``unpack_to_s4`` over every Quantized4Kernel in a params tree.
+
+    No-op on trees without nibble int4 kernels (returns leaves unchanged,
+    so jit retracing keys stay stable for int8/bf16 configs)."""
+
+    def walk(tree):
+        changed = False
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                nv, ch = walk(v)
+            elif type(v).__name__ == "Quantized4Kernel" and v.nibble:
+                nv, ch = unpack_to_s4(v), True
+            else:
+                nv, ch = v, False
+            out[k] = nv
+            changed |= ch
+        return out, changed
+
+    out, changed = walk(params)
+    return out if changed else params
+
+
 def dequantize4(qk: Quantized4Kernel, dtype=jnp.float32) -> jax.Array:
     """Reconstruct the kernel at its logical shape."""
     if qk.nibble:

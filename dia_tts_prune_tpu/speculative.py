@@ -47,6 +47,7 @@ from .generate import (
     _cross_window_for,
     _dtype_of,
     _loop_entry_carries,
+    _maybe_unpack_s4,
     _resolve_seed,
     decode_segment,
     prepare_stream,
@@ -141,6 +142,7 @@ def spec_window(
     with the baseline loop's state machine.
     """
     compute_dtype = _dtype_of(compute_dtype_name)
+    params = _maybe_unpack_s4(params)
     d = config.data
     C = d.channels
     eos = d.audio_eos_value

@@ -190,9 +190,13 @@ def test_int4_nibble_matches_s4(group):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_int4_nibble_model_generates_and_matches_s4():
+@pytest.mark.parametrize("halfsplit", [False, True])
+def test_int4_nibble_model_generates_and_matches_s4(halfsplit):
     """A nibble-packed model runs the standard generate path and reproduces
-    the S4-layout trajectory token-for-token (same quantized weights)."""
+    the S4-layout trajectory token-for-token (same quantized weights).
+
+    With DIA_INT4_S4 on (default), the nibble run exercises the in-jit
+    unpack-to-S4 path (generate._maybe_unpack_s4) — the serving default."""
     from dia_tts_prune_tpu.config import tiny_test_config
     from dia_tts_prune_tpu.generate import DiaGenerator
     from dia_tts_prune_tpu.models.dia import init_params
@@ -201,12 +205,40 @@ def test_int4_nibble_model_generates_and_matches_s4():
     cfg = tiny_test_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
     out_nb = DiaGenerator(
-        quantize_params_int4_packed(params, group=16, nibble=True), cfg
+        quantize_params_int4_packed(params, group=16, nibble=True,
+                                    halfsplit=halfsplit), cfg
     ).generate_tokens("[S1] nibble", max_tokens=40, temperature=0.0)
     out_s4 = DiaGenerator(
         quantize_params_int4_packed(params, group=16), cfg
     ).generate_tokens("[S1] nibble", max_tokens=40, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(out_nb), np.asarray(out_s4))
+
+
+@pytest.mark.parametrize("halfsplit", [False, True])
+@pytest.mark.parametrize("group", [None, 16])
+def test_unpack_to_s4_matches_dequant(halfsplit, group):
+    """unpack_to_s4 (in-jit nibble→S4 convert) preserves values/scales
+    exactly: dequantizing the unpacked kernel equals dequantizing the
+    nibble kernel, and dense_general through it matches the reference."""
+    from dia_tts_prune_tpu.ops.modules import dense_general
+    from dia_tts_prune_tpu.ops.quant import (
+        dequantize4,
+        quantize_int4,
+        unpack_to_s4,
+    )
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    qk = quantize_int4(w, group=group, nibble=True, halfsplit=halfsplit)
+    assert qk.nibble
+    qs = jax.jit(unpack_to_s4)(qk)
+    assert not qs.nibble and not qs.halfsplit
+    np.testing.assert_array_equal(
+        np.asarray(dequantize4(qk)), np.asarray(dequantize4(qs)))
+    x = jnp.asarray(rng.normal(size=(2, 32)).astype(np.float32))
+    y = jax.jit(lambda x, q: dense_general(x, q, axis=(-1,)))(x, qs)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x @ dequantize4(qk)), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("mode", ["int4", "hybrid"])

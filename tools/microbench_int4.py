@@ -129,18 +129,23 @@ def main():
     )
     from dia_tts_prune_tpu.ops.quant import quantize_int4
 
-    def pack_halfsplit(w):  # [L, K, N] -> bytes [L, K/2, N], scale [L, K/G, N]
-        qk = quantize_int4(w, stacked=True, group=G, nibble=True, halfsplit=True)
+    def pack_halfsplit(w, group=G):  # [L,K,N] -> bytes [L,K/2,N], scale [L,K/G,N]
+        qk = quantize_int4(w, stacked=True, group=group, nibble=True,
+                           halfsplit=True)
         assert qk.halfsplit, "halfsplit pack fell back (group misalignment?)"
         return qk.values, qk.scale
 
-    def chain_halfsplit_pallas(x, packs):
-        def layer(x, ws):
-            ba, sa, bb, sb = ws
-            h = jnp.maximum(int4_gemv_halfsplit(x, ba, sa), 0)
-            return int4_gemv_halfsplit(h, bb, sb).astype(x.dtype), None
-        x, _ = jax.lax.scan(layer, x, packs)
-        return x
+    def make_chain_halfsplit_pallas(**kw):
+        def chain(x, packs):
+            def layer(x, ws):
+                ba, sa, bb, sb = ws
+                h = jnp.maximum(int4_gemv_halfsplit(x, ba, sa, **kw), 0)
+                return int4_gemv_halfsplit(h, bb, sb, **kw).astype(x.dtype), None
+            x, _ = jax.lax.scan(layer, x, packs)
+            return x
+        return chain
+
+    chain_halfsplit_pallas = make_chain_halfsplit_pallas()
 
     def chain_halfsplit_xla(x, packs):
         def layer(x, ws):
@@ -235,6 +240,21 @@ def main():
             chain_q_grouped, (q1_4g, s1_4g, q2_4g, s2_4g)),
         "halfsplit_pallas": lambda: bench(
             chain_halfsplit_pallas, pack_halfsplit(w1) + pack_halfsplit(w2)),
+        # ablations: i16 unpack (half the shift register traffic), per-column
+        # scales (no in-register group multiply), bigger streaming tiles
+        "halfsplit_pallas_i16": lambda: bench(
+            make_chain_halfsplit_pallas(shift_width=16),
+            pack_halfsplit(w1) + pack_halfsplit(w2)),
+        "halfsplit_pallas_pc": lambda: bench(
+            make_chain_halfsplit_pallas(),
+            pack_halfsplit(w1, group=None) + pack_halfsplit(w2, group=None)),
+        "halfsplit_pallas_big": lambda: bench(
+            make_chain_halfsplit_pallas(tile_n=2048, tile_cap=8 * 1024 * 1024),
+            pack_halfsplit(w1) + pack_halfsplit(w2)),
+        "halfsplit_pallas_i16_pc_big": lambda: bench(
+            make_chain_halfsplit_pallas(shift_width=16, tile_n=2048,
+                                        tile_cap=8 * 1024 * 1024),
+            pack_halfsplit(w1, group=None) + pack_halfsplit(w2, group=None)),
         "halfsplit_xla": lambda: bench(
             chain_halfsplit_xla, pack_halfsplit(w1) + pack_halfsplit(w2)),
     }
