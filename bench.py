@@ -315,10 +315,14 @@ def main(argv=None):
             gen, config, args, f"RTF_int4-{args.int4}_{size}{suffix}",
             n_params, ttfa_cache_len))
     else:
-        # int8 default: ON for TPU serving (measured +71% tokens/s, docs/PERF.md);
-        # dual-report bf16 alongside unless the user pinned a config
+        # Default TPU report: bf16, int8 (near-lossless serving default),
+        # int4-full LAST = headline (fastest measured config: in-jit S4
+        # unpack streams weights at 4-bit density, RTF 6.79 vs int8's 5.29,
+        # docs/PERF.md round 4; quality-free with `finetune --qat int4`).
+        # Pinning --int8/--no-int8 narrows the report to that config.
         want_int8 = args.int8 if args.int8 is not None else (on_tpu and not args.tiny)
         want_bf16 = (args.int8 is None and on_tpu and not args.tiny) or not want_int8
+        want_int4 = args.int8 is None and on_tpu and not args.tiny
         if want_bf16:
             gen = DiaGenerator(params, config, args.dtype)
             results.append(measure(
@@ -329,11 +333,22 @@ def main(argv=None):
         if want_int8:
             from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
-            qparams = quantize_params_int8_packed(params)
-            del params
-            gen = DiaGenerator(qparams, config, args.dtype)
+            q8 = quantize_params_int8_packed(params)
+            if not want_int4:
+                del params
+            gen = DiaGenerator(q8, config, args.dtype)
             results.append(measure(
                 gen, config, args, f"RTF_int8_{size}{suffix}", n_params, ttfa_cache_len))
+            del gen, q8
+        if want_int4:
+            from dia_tts_prune_tpu.ops.quant import quantize_params_int4_packed
+
+            q4 = quantize_params_int4_packed(params, nibble=True, halfsplit=True)
+            del params
+            gen = DiaGenerator(q4, config, args.dtype)
+            results.append(measure(
+                gen, config, args, f"RTF_int4-full_{size}{suffix}", n_params,
+                ttfa_cache_len))
 
     for r in results:
         print(json.dumps(r))

@@ -524,12 +524,16 @@ class Dia:
         and the least quantization-sensitive population.  Quality/perf
         numbers: docs/PERF.md; quality proxy tool: tools/int8_quality.py
         ``--mode int4|hybrid``.  ``nibble`` (default) stores two int4 rows
-        per int8 byte — identical numerics, no ``S4``-dtype array (required
-        on remote-attached TPUs whose int4 transfer is broken).
-        ``halfsplit`` (default) pairs contraction halves per byte so the
-        decode GEMV runs through the Pallas in-register-unpack kernel
-        (ops/kernels/int4_gemv.py) on TPU — the layout that actually halves
-        weight HBM traffic vs int8; same quantization grid, falls back
+        per int8 byte — identical numerics, no ``S4``-dtype array crosses a
+        device/jit boundary (required on remote-attached TPUs whose int4
+        transfer is broken).  Inside every fused generate program the
+        nibble bytes are unpacked ONCE to XLA-native S4 before the decode
+        loop (generate._maybe_unpack_s4, ``DIA_INT4_S4=0`` opts out), so
+        the loop streams weights at true 4-bit density with the upcast
+        fused into each dot's operand read — measured 1.6–1.9× the int8
+        path's MLP-chain throughput (docs/PERF.md round 4).  ``halfsplit``
+        (default) pairs contraction halves per byte; same quantization
+        grid, keeps the Pallas GEMV fallback layout-compatible, falls back
         per-kernel when shapes misalign."""
         from .ops.quant import quantize_params_int4_packed, quantize_params_int8_packed
 

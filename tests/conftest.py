@@ -12,6 +12,15 @@ import os
 # virtual devices (and don't monopolize the real chip).
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Tests that enable the persistent compile cache (bench smoke, profiling
+# tools) must NOT share /root/.jax_cache with concurrent TPU runs: two
+# processes writing one cache entry can abort mid-write (zstandard), and a
+# later run SEGFAULTS reading the corrupt entry (both observed in round 4).
+# Give every test session its own throwaway cache.
+import tempfile  # noqa: E402
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(prefix="jax_cache_test_")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
