@@ -199,6 +199,31 @@ def test_sharded_generation_quant_kv_matches_single_device(monkeypatch):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_generation_int4_matches_single_device():
+    """TP-sharded generation with nibble-int4 weights: the in-jit unpack to
+    XLA-native S4 (generate._maybe_unpack_s4) must compose with GSPMD —
+    the convert/reshape keep the kernels' model-axis sharding and tokens
+    equal the single-device int4 run."""
+    from dia_tts_prune_tpu.generate import DiaGenerator
+    from dia_tts_prune_tpu.ops.quant import quantize_params_int4_packed
+
+    cfg = _tp_config()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    q4 = quantize_params_int4_packed(params, group=16, nibble=True,
+                                     halfsplit=True)
+    ref = DiaGenerator(q4, cfg).generate_tokens(
+        "[S1] sharded int4", max_tokens=40, temperature=0.0)
+
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh, config=cfg)
+    with mesh:
+        sp_q4 = quantize_params_int4_packed(sp, group=16, nibble=True,
+                                            halfsplit=True)
+        out = DiaGenerator(sp_q4, cfg).generate_tokens(
+            "[S1] sharded int4", max_tokens=40, temperature=0.0)
+    np.testing.assert_array_equal(out, ref)
+
+
 # ---------------------------------------------------------------------------
 # FSDP (ZeRO-style parameter/optimizer-state storage sharding)
 # ---------------------------------------------------------------------------
