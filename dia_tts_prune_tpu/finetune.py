@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = p.add_argument_group("Adapters (LoRA)")
     a.add_argument("--adapter-mode", type=str, default="none", choices=["none", "lora"])
+    a.add_argument("--merge-adapter", type=str, default=None,
+                   help="merge a saved LoRA adapter dir (native save_adapter "
+                        "format, or a torch-peft dir) into the base weights "
+                        "before training starts.  The tested route from an "
+                        "adapter to int4 serving: "
+                        "--merge-adapter <dir> --qat int4 (QAT trains the "
+                        "merged model against the serving quantizer's exact "
+                        "numerics; QAT+LoRA directly is rejected — the fp "
+                        "adapter over a fake-quant base would train against "
+                        "different numerics than it serves)")
     a.add_argument("--lora-r", type=int, default=8)
     a.add_argument("--lora-alpha", type=float, default=16.0)
     a.add_argument("--lora-dropout", type=float, default=0.0)
@@ -93,6 +103,18 @@ def main(argv=None) -> int:
     dia = Dia.from_pretrained(args.model_path, compute_dtype=args.compute_dtype,
                               dac_checkpoint=args.dac_checkpoint)
     params, config = dia.params, dia.config
+
+    if args.merge_adapter:
+        from .lora import load_adapter, load_peft_adapter, lora_param_count, merge_lora
+
+        apath = Path(args.merge_adapter)
+        try:
+            adapter = load_adapter(apath)
+        except (FileNotFoundError, KeyError):
+            adapter = load_peft_adapter(apath)
+        params = merge_lora(params, adapter)
+        print(f"Merged adapter {apath} into base weights "
+              f"({lora_param_count(adapter)} adapter params)")
 
     if args.prune_before:
         from .prune import apply_masks, sparsity_report, structured_masks, unstructured_masks

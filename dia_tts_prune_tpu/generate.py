@@ -799,6 +799,24 @@ def decode_segment(
     return jax.lax.while_loop(cond, body, state)
 
 
+@partial(jax.jit)
+def _stream_snapshot(state: DecodeLoopState):
+    """Device-side copies of the loop-state fields the streaming host loop
+    reads (dec_step, stop, tokens).
+
+    The ``+ 0`` / ``where`` ops force fresh output buffers, so the snapshot
+    stays valid after the state itself is DONATED to the next
+    ``decode_segment`` dispatch — that is what lets the pipelined stream
+    enqueue segment k+1 before fetching segment k's results (the fetch's
+    tunnel round trip then overlaps the next segment's device execution).
+    """
+    return (
+        state.dec_step + 0,
+        jnp.where(state.stop, True, False),
+        state.tokens + 0,
+    )
+
+
 def _bucket(n: int, mult: int, cap: int) -> int:
     """Round ``n`` up to a multiple of ``mult``, clamped to [mult, cap]."""
     return min(cap, max(mult, -(-int(n) // mult) * mult))
@@ -974,19 +992,42 @@ class DiaGenerator:
         f_topp = jnp.asarray(top_p, jnp.float32)
         mt = jnp.asarray(max_tokens, jnp.int32)
 
-        emitted = 0
-        seg_end = prefill_step - 1
-        while True:
-            seg_end = min(seg_end + segment_steps, max_tokens - 1)
-            state = decode_segment(
-                self.params, cfg, state, cross_cache, cross_mask,
-                jnp.asarray(seg_end, jnp.int32), mt, f_cfg, f_temp, f_topp,
+        import os
+
+        pipelined = os.environ.get("DIA_STREAM_PIPELINE", "1") != "0"
+
+        def run_segment(st, end):
+            return decode_segment(
+                self.params, cfg, st, cross_cache, cross_mask,
+                jnp.asarray(end, jnp.int32), mt, f_cfg, f_temp, f_topp,
                 greedy=greedy, cfg_filter_top_k=cfg_filter_top_k,
                 compute_dtype_name=self.compute_dtype,
             )
-            # one tunnel round trip per segment instead of three serialized ones
-            dec_step, stop, host_tokens = jax.device_get(
-                (state.dec_step, state.stop, state.tokens))
+
+        emitted = 0
+        seg_end = min(prefill_step - 1 + segment_steps, max_tokens - 1)
+        state = run_segment(state, seg_end)
+        while True:
+            if pipelined:
+                # Double-buffer (round-5 task 6): snapshot the finished
+                # segment's results on device, speculatively enqueue the NEXT
+                # segment (donating the state), THEN fetch the snapshot — the
+                # device decodes segment k+1 while the host pays the tunnel
+                # round trip, the delay-revert, and (in stream_decode_wav)
+                # the codec decode for segment k.  If the fetched snapshot
+                # says stop, the in-flight segment's while_loop cond is False
+                # on entry, so the wasted dispatch costs ~nothing.  Yields are
+                # computed from the same snapshots as the serial path —
+                # bit-identical output.
+                snap = _stream_snapshot(state)
+                if seg_end < max_tokens - 1:
+                    seg_end = min(seg_end + segment_steps, max_tokens - 1)
+                    state = run_segment(state, seg_end)
+                dec_step, stop, host_tokens = jax.device_get(snap)
+            else:
+                # one tunnel round trip per segment instead of three serialized ones
+                dec_step, stop, host_tokens = jax.device_get(
+                    (state.dec_step, state.stop, state.tokens))
             dec_step, stop = int(dec_step), bool(stop)
             raw = host_tokens[prefill_step : dec_step + 1]
             n_final = max(0, raw.shape[0] - d.max_delay)
@@ -999,6 +1040,9 @@ class DiaGenerator:
                 emitted = n_final
             if stop or dec_step >= max_tokens - 1:
                 return
+            if not pipelined:
+                seg_end = min(seg_end + segment_steps, max_tokens - 1)
+                state = run_segment(state, seg_end)
 
     def generate_tokens_batch(
         self,

@@ -48,6 +48,8 @@ def _make_kernel(K2: int, group: int | None, cdt, shift_width: int = 32):
     measured compute-bound at 30×+ the DMA time (16–64 serialized
     [B,128]×[128,TN] micro-dots per grid step).
     """
+    if shift_width not in (16, 32):
+        raise ValueError(f"shift_width must be 16 or 32, got {shift_width}")
     wdt = jnp.int32 if shift_width == 32 else jnp.int16
     sext = shift_width - 4
 

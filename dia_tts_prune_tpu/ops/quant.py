@@ -402,21 +402,20 @@ def unpack_params_s4(params: Params) -> Params:
     No-op on trees without nibble int4 kernels (returns leaves unchanged,
     so jit retracing keys stay stable for int8/bf16 configs)."""
 
-    def walk(tree):
-        changed = False
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                nv, ch = walk(v)
-            elif type(v).__name__ == "Quantized4Kernel" and v.nibble:
-                nv, ch = unpack_to_s4(v), True
-            else:
-                nv, ch = v, False
-            out[k] = nv
-            changed |= ch
-        return out, changed
+    changed = False
 
-    out, changed = walk(params)
+    def visit(v):
+        nonlocal changed
+        if isinstance(v, Quantized4Kernel) and v.nibble:
+            changed = True
+            return unpack_to_s4(v)
+        return v
+
+    # Walk via tree_util with is_leaf so nibble kernels are found in ANY
+    # container (dicts, tuples like the DIA_FUSED_INT4 pack, lists), not
+    # only dict values.
+    out = jax.tree_util.tree_map(
+        visit, params, is_leaf=lambda x: isinstance(x, Quantized4Kernel))
     return out if changed else params
 
 

@@ -18,9 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # processes writing one cache entry can abort mid-write (zstandard), and a
 # later run SEGFAULTS reading the corrupt entry (both observed in round 4).
 # Give every test session its own throwaway cache.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
-os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(prefix="jax_cache_test_")
+_cache_dir = tempfile.mkdtemp(prefix="jax_cache_test_")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

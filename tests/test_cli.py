@@ -159,6 +159,78 @@ def test_finetune_cli_smoke(model_dir, tmp_path, monkeypatch):
     assert (out / "training_args.json").exists()
 
 
+def test_finetune_lora_merge_qat_int4_serving(model_dir, tmp_path, monkeypatch):
+    """The tested route from an adapter to int4 serving (round-5 task 5):
+    lora-train → merge (--merge-adapter) → QAT int4 fine-tune → quantized
+    serving.  Asserts the chain runs through the user-facing CLIs, the QAT
+    output loses ~nothing when quantized to the serving format (loss gap vs
+    its own fp forward stays small — QAT trains against the serving
+    quantizer's exact numerics), and int4 serving generates valid tokens."""
+    import jax.numpy as jnp
+
+    from dia_tts_prune_tpu.datagen import generate_dataset
+    from dia_tts_prune_tpu.finetune import main
+    from dia_tts_prune_tpu.train import build_train_batch, compute_loss
+
+    d, dac_cfg = model_dir
+    _patch_dac_config(monkeypatch, dac_cfg)
+
+    dia = Dia.from_pretrained(str(d), dac_checkpoint=str(d / "dac.pth"))
+    dia.dac_config = dac_cfg
+    dia.load_dac(d / "dac.pth")
+    generate_dataset(dia, tmp_path / "data", num_samples=3, min_len_sec=0,
+                     max_len_sec=6, temperature=0.0, max_tokens=48)
+
+    # 1. adapter training (the reference's primary adaptation mode)
+    ft = tmp_path / "ft_lora"
+    rc = main([
+        "--model-path", str(d), "--dac-checkpoint", str(d / "dac.pth"),
+        "--dataset-dir", str(tmp_path / "data"), "--output-dir", str(ft),
+        "--epochs", "1", "--batch-size", "2", "--learning-rate", "1e-4",
+        "--adapter-mode", "lora", "--lora-r", "2", "--compute-dtype", "float32",
+        "--no-remat", "--save-steps", "0", "--logging-steps", "1",
+    ])
+    assert rc == 0 and (ft / "adapter" / "adapter_weights.npz").exists()
+
+    # 2. merge that adapter into the BASE checkpoint and QAT-finetune int4
+    qat_out = tmp_path / "ft_qat"
+    rc = main([
+        "--model-path", str(d), "--dac-checkpoint", str(d / "dac.pth"),
+        "--merge-adapter", str(ft / "adapter"),
+        "--dataset-dir", str(tmp_path / "data"), "--output-dir", str(qat_out),
+        "--qat", "int4", "--epochs", "2", "--batch-size", "2",
+        "--learning-rate", "3e-4", "--compute-dtype", "float32",
+        "--no-remat", "--save-steps", "0", "--logging-steps", "1",
+    ])
+    assert rc == 0 and (qat_out / "pytorch_model.bin").exists()
+
+    # 3. int4 serving from the QAT artifact
+    served = Dia.from_local(qat_out / "config.json", qat_out / "pytorch_model.bin",
+                            compute_dtype="float32")
+    cfg = served.config
+    fp_params = served.params
+    served.quantize_int4()
+    codes = served.generate_codes("[S1] adapter to int4", max_tokens=32,
+                                  temperature=0.0)
+    assert codes.shape[0] > 0
+    assert codes.min() >= 0 and codes.max() <= 1023
+
+    # 4. the QAT model's int4 loss tracks its fp loss (the whole point of
+    # training against the serving quantizer's numerics); threshold is loose
+    # for a tiny run but rejects the raw post-hoc-quantized regime, where the
+    # gap is multiples of the fp loss (QUALITY.json int4 at 10M: 54% argmax
+    # agreement)
+    rng = np.random.default_rng(0)
+    text = rng.integers(1, 200, (2, cfg.data.text_length)).astype(np.int32)
+    text[:, 40:] = 0
+    targets = [rng.integers(0, 1024, (48, 9)).astype(np.int32) for _ in range(2)]
+    batch = {k: jnp.asarray(v)
+             for k, v in build_train_batch(cfg, text, targets).items()}
+    fp_loss = float(compute_loss(fp_params, cfg, batch))
+    q_loss = float(compute_loss(fp_params, cfg, batch, qat_mode="int4"))
+    assert q_loss < fp_loss * 1.5 + 0.5, (fp_loss, q_loss)
+
+
 def test_app_tp_continuous_batch_wiring(model_dir, monkeypatch):
     """`app.py --continuous-batch --tp 2` shards params onto a 2-chip mesh
     and serves through a mesh-aware ContinuousBatcher (serve_http stubbed to

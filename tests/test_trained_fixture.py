@@ -67,6 +67,32 @@ def test_waveform_regression(trained):
     np.testing.assert_allclose(wav[:256], golden["wav_head"], atol=1e-5)
 
 
+def test_validate_real_checkpoint_dryrun(tmp_path):
+    """The day-one real-checkpoint harness, dry-run against the trained
+    fixture so it cannot rot (round-5 task 7): every stage must execute green
+    (or record an explicit environment skip) with the fixture standing in for
+    the published checkpoint — load/convert, re-export round trip, seeded
+    generate, quant-quality gates (int8/int4/hybrid/kv), speculative α, and
+    the per-regime serving matrix."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    import validate_real_checkpoint as vrc
+
+    rc = vrc.main(["--model-path", str(FIXTURE), "--out", str(tmp_path),
+                   "--quick", "--max-tokens", "48", "--seed", "0"])
+    report = json.loads((tmp_path / "report.json").read_text())
+    assert rc == 0, report
+    assert report["all_ok"] is True
+    for name in ("resolve_and_convert", "reexport_roundtrip", "seeded_generate",
+                 "quant_quality", "spec_alpha", "serving_matrix"):
+        assert report[name]["ok"], (name, report[name])
+    # the gates actually produced numbers, not just ran
+    assert 0.0 <= report["quant_quality"]["int8"]["teacher_forced_argmax_agreement"] <= 1.0
+    assert report["spec_alpha"]["gates"][0]["greedy_token_exact_vs_baseline"] is True
+    assert len(report["serving_matrix"]["rows"]) == 4  # 2 formats × 2 batches
+
+
 def test_trained_voice_clone_round_trip(trained, tmp_path):
     """Voice cloning through the trained model: save → DAC-encode → prefill.
 

@@ -51,6 +51,9 @@ def main(argv=None):
                         "overhead vs the preformed-batch ceiling")
     p.add_argument("--int8", action=argparse.BooleanOptionalAction, default=None,
                    help="packed int8 decoder weights (default: on for TPU)")
+    p.add_argument("--int4", type=str, default=None, choices=["full", "hybrid"],
+                   help="packed int4 decoder weights (grouped S4 serving "
+                        "path); overrides --int8")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--temperature", type=float, default=1.3)
     p.add_argument("--seed", type=int, default=0)
@@ -80,8 +83,21 @@ def main(argv=None):
     params = init_params(config, jax.random.PRNGKey(args.seed), dtype)
     n_params = param_count(params)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    want_int8 = args.int8 if args.int8 is not None else (on_tpu and not args.tiny)
-    if want_int8:
+    want_int8 = (args.int4 is None and
+                 (args.int8 if args.int8 is not None else (on_tpu and not args.tiny)))
+    if args.int4 is not None:
+        from dia_tts_prune_tpu.ops.quant import (
+            quantize_params_int4_packed,
+            quantize_params_int8_packed,
+        )
+
+        if args.int4 == "full":
+            params = quantize_params_int4_packed(params, nibble=True, halfsplit=True)
+        else:
+            params = quantize_params_int8_packed(
+                quantize_params_int4_packed(params, mlp_only=True, nibble=True,
+                                            halfsplit=True), fused=False)
+    elif want_int8:
         from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
 
         params = quantize_params_int8_packed(params)
@@ -162,6 +178,7 @@ def main(argv=None):
             / max(1, cb.stats["lane_segments_capacity"]), 4),
         "saturate": bool(args.saturate),
         "int8": bool(want_int8),
+        "int4": args.int4,
         "params": n_params,
         "device": str(jax.devices()[0]),
         "weights": "random",

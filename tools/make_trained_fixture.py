@@ -72,9 +72,51 @@ def small_train_config():
     )
 
 
+def deep_train_config():
+    """Reference-shaped DEPTH at trainable width (round-5 verdict, item 2):
+    18 decoder layers — matching Dia-1.6B's decoder depth exactly — at 256d
+    (~25M params, ~50 MB fp16 in git).  Quantization error compounds per
+    layer and layer-skip speculative drafts discard a fixed FRACTION of
+    depth, so quant quality and acceptance α measured on the 4-layer fixture
+    extrapolate with unknown sign; this config pins the depth-dependent
+    numbers."""
+    from dia_tts_prune_tpu.config import (
+        DataConfig,
+        DecoderConfig,
+        DiaConfig,
+        EncoderConfig,
+        ModelConfig,
+    )
+
+    return DiaConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(n_layer=6, n_embd=256, n_hidden=1024, n_head=4, head_dim=64),
+            decoder=DecoderConfig(
+                n_layer=18,
+                n_embd=256,
+                n_hidden=1024,
+                gqa_query_heads=4,
+                kv_heads=2,
+                gqa_head_dim=64,
+                cross_query_heads=4,
+                cross_head_dim=64,
+            ),
+            src_vocab_size=256,
+            tgt_vocab_size=1028,
+            weight_dtype="float32",
+        ),
+        data=DataConfig(text_length=128, audio_length=256),
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--out", type=str, default=str(FIXTURE_DIR))
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--preset", type=str, default="small", choices=["small", "deep"],
+                   help="small = 10M/4-dec-layer (fast gates); deep = 25M/"
+                        "18-dec-layer, reference decoder depth (quant + "
+                        "speculative quality whose depth-dependence matches "
+                        "Dia-1.6B)")
     p.add_argument("--num-samples", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--max-steps", type=int, default=2000)
@@ -82,6 +124,9 @@ def main(argv=None):
     p.add_argument("--learning-rate", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.out is None:
+        args.out = str(FIXTURE_DIR.with_name(
+            "trained_small" if args.preset == "small" else "trained_deep"))
 
     import jax
     import jax.numpy as jnp
@@ -98,7 +143,7 @@ def main(argv=None):
     from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
     from dia_tts_prune_tpu.train import TrainConfig, Trainer
 
-    config = small_train_config()
+    config = small_train_config() if args.preset == "small" else deep_train_config()
     n_params_model = None
 
     # --- 1. base model + small codec ----------------------------------
@@ -193,6 +238,7 @@ def main(argv=None):
     )
     meta = {
         "prompt": PROMPT,
+        "preset": args.preset,
         "seed": args.seed,
         "train_steps": trainer.global_step,
         "train_loss_window": round(loss, 4),

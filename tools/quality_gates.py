@@ -70,13 +70,14 @@ def prune_gate(params, config, held_batch, text: str, seed: int,
 
 
 def spec_gate(params, config, text: str, seed: int, draft_depths=(1, 2),
-              window: int = 8) -> list[dict]:
+              window: int = 8, max_tokens: int | None = None) -> list[dict]:
     import numpy as np
 
     from dia_tts_prune_tpu.generate import DiaGenerator
     from dia_tts_prune_tpu.speculative import SpeculativeGenerator
 
-    max_tokens = config.data.audio_length - 16
+    if max_tokens is None:
+        max_tokens = config.data.audio_length - 16
     base = np.asarray(DiaGenerator(params, config, "float32").generate_tokens(
         text, max_tokens=max_tokens, temperature=0.0, seed=seed))
     out = []

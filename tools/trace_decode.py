@@ -5,7 +5,14 @@ int8/scan (or bf16/unroll) step in a fori_loop under ``jax.profiler``, then
 converts the xplane dump with xprof's ``raw_to_tool_data`` into hlo_stats
 and prints the top ops by self time.
 
-Run:  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python tools/trace_decode.py [--variant int8/scan]
+Variants: ``bf16/unroll``, ``int8/scan`` (the int8 serving default),
+``int4/scan`` / ``hybrid/scan`` (the S4 serving path: nibble-packed params
+unpacked to XLA-native S4 INSIDE the jit, exactly like
+generate._maybe_unpack_s4), each with ``--kv-int8`` to match the serving
+cache format.  This is the round-5 decomposition harness for the int4
+roofline residual (1.46 ms/step vs the ≈1.1–1.2 ms HBM roof).
+
+Run:  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python tools/trace_decode.py [--variant int4/scan --kv-int8]
 """
 
 from __future__ import annotations
@@ -29,6 +36,8 @@ def main():
     p.add_argument("--variant", type=str, default="int8/scan")
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--cache-len", type=int, default=1024)
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (QuantKVCache), the TPU serving default")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--tool", type=str, default="hlo_stats")
     args = p.parse_args()
@@ -38,13 +47,26 @@ def main():
         KVCache, decode_step, decode_step_fused, decode_step_scan, init_params,
         new_self_cache,
     )
-    from dia_tts_prune_tpu.ops.quant import quantize_params_int8_packed
+    from dia_tts_prune_tpu.ops.quant import (
+        quantize_params_int4_packed,
+        quantize_params_int8_packed,
+        unpack_params_s4,
+    )
 
     config = dia_1_6b_config(weight_dtype="bfloat16")
     dtype = jnp.bfloat16
     params = init_params(config, jax.random.PRNGKey(0), dtype)
+    unpack_in_jit = False
     if args.variant.startswith("int8"):
         params = quantize_params_int8_packed(params)
+    elif args.variant.startswith("int4"):
+        params = quantize_params_int4_packed(params, nibble=True, halfsplit=True)
+        unpack_in_jit = True  # nibble bytes cross the transfer; S4 is in-jit only
+    elif args.variant.startswith("hybrid"):
+        params = quantize_params_int8_packed(
+            quantize_params_int4_packed(params, mlp_only=True, nibble=True,
+                                        halfsplit=True), fused=False)
+        unpack_in_jit = True
     step_fn = {"scan": decode_step_scan, "fused": decode_step_fused}.get(
         args.variant.split("/")[-1], decode_step)
     d = config.data
@@ -59,6 +81,8 @@ def main():
 
     @jax.jit
     def run(tokens0, cache, pp):
+        if unpack_in_jit:
+            pp = unpack_params_s4(pp)  # == generate._maybe_unpack_s4
         def body(i, carry):
             tok, cache = carry
             pos = jnp.full((B, 1), i + 1, jnp.int32)
@@ -70,7 +94,8 @@ def main():
         tok, cache = jax.lax.fori_loop(0, args.steps, body, (tokens0, cache))
         return tok
 
-    cache = new_self_cache(config, B, max_len=args.cache_len, dtype=dtype)
+    cache = new_self_cache(config, B, max_len=args.cache_len, dtype=dtype,
+                           quant=args.kv_int8)
     tok0 = jnp.full((B, 1, d.channels), 100, jnp.int32)
     np.asarray(run(tok0, cache, params))  # compile
 

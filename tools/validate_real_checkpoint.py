@@ -21,15 +21,27 @@ Stages (each skipped gracefully with a reason if its inputs are missing):
 4. **reference** — if torch + the reference repo are importable, run the
    quirk-patched reference loop (tests/ref_loader.py) with the same prompt
    and assert token-exact fp32 parity; report the first divergence if any.
-5. **int8_quality** — the quality gate for the int8 serving default at real
-   weights: greedy-token agreement + teacher-forced logit delta vs bf16
-   (tools/int8_quality.compare).
-6. **report**   — one JSON line summarizing pass/skip per stage.
+5. **quant_quality** — quality gates for EVERY serving weight format at real
+   weights: int8, int4-full (grouped S4), int4-hybrid — greedy-token
+   agreement + teacher-forced logit delta vs bf16 (tools/int8_quality.compare)
+   — plus the int8 KV cache.
+6. **spec_alpha** — speculative-decoding acceptance α for layer-skip drafts
+   (depths scaled to the checkpoint's decoder depth; the number that decides
+   whether `Dia.generate(speculative=…)` pays off at real weights).
+7. **serving_matrix** — per-regime throughput: int8 vs int4-full at batch
+   1/8/16/32 (short timed runs; decision-grade only on a real TPU — on CPU
+   the stage still executes the code path so it cannot rot).
+8. **report**   — one JSON line summarizing pass/skip per stage.
 
 Usage:
     python tools/validate_real_checkpoint.py \
         [--model-path DIR|HF_ID] [--dac-path FILE] [--out DIR] \
-        [--prompt TEXT] [--max-tokens N] [--seed N]
+        [--prompt TEXT] [--max-tokens N] [--seed N] [--quick]
+
+``--quick`` shrinks every stage (few steps, batch ≤2) — used by the CI
+dry-run against the trained fixture (tests/test_trained_fixture.py), which
+keeps this harness green end-to-end so it is ready the day the published
+checkpoint is reachable.
 """
 
 from __future__ import annotations
@@ -47,6 +59,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 PROMPT = "[S1] The quick brown fox jumps over the lazy dog. [S2] It certainly does."
 
 
+class SkipStage(Exception):
+    """A stage's inputs are unavailable in this environment — recorded as a
+    skip (does not fail the run), unlike a real error."""
+
+
 def stage(report: dict, name: str):
     def deco(fn):
         def run(*a, **k):
@@ -57,6 +74,9 @@ def stage(report: dict, name: str):
                 if isinstance(out, dict):
                     report[name].update(out)
                 return out
+            except SkipStage as e:
+                report[name] = {"ok": True, "skipped": str(e)}
+                return None
             except Exception as e:  # noqa: BLE001 — harness must keep going
                 report[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
                 return None
@@ -64,7 +84,7 @@ def stage(report: dict, name: str):
     return deco
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-path", default="nari-labs/Dia-1.6B")
     ap.add_argument("--dac-path", default=None,
@@ -73,7 +93,12 @@ def main() -> int:
     ap.add_argument("--prompt", default=PROMPT)
     ap.add_argument("--max-tokens", type=int, default=512)
     ap.add_argument("--seed", type=int, default=42)
-    args = ap.parse_args()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny steps/batches: the fixture CI dry-run")
+    ap.add_argument("--stages", type=str, nargs="+", default=None,
+                    help="limit the optional gates (quant_quality, spec_alpha, "
+                         "serving_matrix); load/generate/parity always run")
+    args = ap.parse_args(argv)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     report: dict = {"model_path": args.model_path}
@@ -146,12 +171,19 @@ def main() -> int:
     def ref_parity():
         """Same quirk-patched reference harness as tests/test_loop_parity.py,
         but with the real checkpoint loaded into the torch model."""
-        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
-        import ref_loader
-        import test_loop_parity as tlp
+        try:
+            from tests import ref_loader
+            from tests import test_loop_parity as tlp
+        except ImportError:
+            sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+            import ref_loader
+            import test_loop_parity as tlp
 
         if not ref_loader.reference_available():
-            raise RuntimeError("torch or /root/reference unavailable")
+            raise SkipStage("torch or /root/reference unavailable")
+        if not (Path(args.model_path) / "pytorch_model.bin").exists():
+            raise SkipStage("no pytorch_model.bin (safetensors-only dir); the "
+                            "torch reference cannot load it")
         import torch
 
         cfg_mod, *_ = ref_loader.load_reference()
@@ -190,27 +222,96 @@ def main() -> int:
     if dia is not None and (out_dir / "tokens_greedy.npz").exists():
         ref_parity()
 
-    @stage(report, "int8_quality")
-    def int8_quality():
-        """Quality gate for the int8 TPU serving default at REAL weights:
-        greedy-token agreement + teacher-forced logit delta vs bf16
-        (tools/int8_quality.py — its random-weight numbers are the worst
-        case; this stage produces the decision-grade ones)."""
+    def wants(name: str) -> bool:
+        return args.stages is None or name in args.stages
+
+    q_steps = 24 if args.quick else min(args.max_tokens, 256)
+
+    @stage(report, "quant_quality")
+    def quant_quality():
+        """Quality gates for every serving weight format at REAL weights:
+        int8 / int4-full / int4-hybrid greedy-token agreement + teacher-forced
+        logit delta vs bf16, plus the int8 KV cache (tools/int8_quality.py —
+        its fixture numbers extrapolate with unknown sign; this stage produces
+        the decision-grade ones)."""
         sys.path.insert(0, str(Path(__file__).resolve().parent))
         from int8_quality import compare, compare_kv_int8  # noqa: E402
 
-        return {
-            "weights": compare(dia.params, dia.config,
-                               steps=min(args.max_tokens, 256),
-                               seed=args.seed, weights_label="real"),
-            "kv_cache": compare_kv_int8(dia.params, dia.config,
-                                        steps=min(args.max_tokens, 256),
-                                        seed=args.seed, weights_label="real"),
-        }
+        out = {}
+        for mode in ("int8", "int4", "hybrid"):
+            out[mode] = compare(dia.params, dia.config, steps=q_steps,
+                                seed=args.seed, weights_label="real", mode=mode)
+        out["kv_cache"] = compare_kv_int8(dia.params, dia.config, steps=q_steps,
+                                          seed=args.seed, weights_label="real")
+        return out
 
-    if dia is not None:
+    if dia is not None and wants("quant_quality"):
         sys.path.insert(0, str(Path(__file__).resolve().parent))
-        int8_quality()
+        quant_quality()
+
+    @stage(report, "spec_alpha")
+    def spec_alpha():
+        """Speculative acceptance α for layer-skip drafts at depths scaled to
+        the checkpoint's decoder (2/4/6 of 18 for Dia-1.6B — the fixture's
+        4-layer α=0 is structurally the worst case and decides nothing for
+        the real model; reference loop being accelerated:
+        /root/reference/dia/model.py:748-815)."""
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from quality_gates import spec_gate  # noqa: E402
+
+        n_layer = dia.config.model.decoder.n_layer
+        depths = tuple(d for d in ((2, 4, 6) if n_layer >= 12 else (1, 2))
+                       if d < n_layer)
+        if args.quick:
+            depths = depths[:1]
+        return {"gates": spec_gate(
+            dia.params, dia.config, args.prompt, args.seed, draft_depths=depths,
+            max_tokens=min(args.max_tokens, dia.config.data.audio_length - 16))}
+
+    if dia is not None and wants("spec_alpha"):
+        spec_alpha()
+
+    @stage(report, "serving_matrix")
+    def serving_matrix():
+        """Per-regime throughput at real weights: int8 vs int4-full at batch
+        1/8/16/32 (docs/SERVING.md per-regime policy; decision-grade on TPU,
+        code-path-exercising on CPU)."""
+        import jax
+
+        from dia_tts_prune_tpu.generate import DiaGenerator
+        from dia_tts_prune_tpu.ops.quant import (
+            quantize_params_int4_packed,
+            quantize_params_int8_packed,
+        )
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        batches = (1, 2) if args.quick else (1, 8, 16, 32)
+        steps = 8 if args.quick else min(args.max_tokens, 256)
+        d = dia.config.data
+        max_tokens = min(steps + d.max_delay + 2, d.audio_length)
+        rows = []
+        for fmt, quantize in (("int8", quantize_params_int8_packed),
+                              ("int4-full", lambda p: quantize_params_int4_packed(
+                                  p, nibble=True, halfsplit=True))):
+            gen = DiaGenerator(quantize(dia.params), dia.config, "bfloat16")
+            for b in batches:
+                texts = [args.prompt] * b
+                seeds = [args.seed + i for i in range(b)]
+                gen.generate_tokens_batch(texts, max_tokens=max_tokens,
+                                          seeds=seeds)  # warm the executable
+                t0 = time.time()
+                outs = gen.generate_tokens_batch(texts, max_tokens=max_tokens,
+                                                 seeds=seeds)
+                dt = time.time() - t0
+                toks = sum(o.shape[0] for o in outs) + b * d.max_delay
+                rows.append({"format": fmt, "batch": b,
+                             "tokens_per_sec": round(toks / dt, 1),
+                             "wall_seconds": round(dt, 3)})
+            del gen
+        return {"rows": rows, "decision_grade": bool(on_tpu)}
+
+    if dia is not None and wants("serving_matrix"):
+        serving_matrix()
 
     ok = all(v.get("ok") for v in report.values() if isinstance(v, dict))
     report["all_ok"] = ok
