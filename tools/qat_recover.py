@@ -43,7 +43,7 @@ sys.path.insert(0, str(REPO))
 DEFAULT_DIR = REPO / "tests" / "fixtures" / "trained_small"
 
 
-def regen_dataset(seed: int):
+def regen_dataset(seed: int, preset: str = "small"):
     """Recreate the fixture's training dataset: datagen ran on the RANDOM
     init model (tools/make_trained_fixture.py step 1-2), which is fully
     deterministic from the config + seeds on CPU."""
@@ -52,11 +52,11 @@ def regen_dataset(seed: int):
     from dia_tts_prune_tpu.models.dac import DACConfig, init_dac_params
 
     sys.path.insert(0, str(REPO / "tools"))
-    from make_trained_fixture import small_train_config
+    from make_trained_fixture import deep_train_config, small_train_config
 
     import jax
 
-    config = small_train_config()
+    config = small_train_config() if preset == "small" else deep_train_config()
     dia = Dia.random_init(config, seed=seed)
     dia.dac_config = DACConfig(
         encoder_dim=8, encoder_rates=(2, 4), decoder_dim=32, decoder_rates=(4, 2),
@@ -133,7 +133,7 @@ def main(argv=None):
 
     print("regenerating the fixture's dataset …", flush=True)
     t0 = time.time()
-    _, data_dir, n_rows = regen_dataset(meta["seed"])
+    _, data_dir, n_rows = regen_dataset(meta["seed"], meta.get("preset", "small"))
     print(f"datagen: {n_rows} rows in {time.time()-t0:.0f}s")
     dia._require_dac()
     dataset = FineTuneDataset(data_dir / "metadata.csv", data_dir / "wavs", config,

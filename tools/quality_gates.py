@@ -148,7 +148,14 @@ def main(argv=None):
         for r in report["prune"]:
             print(json.dumps(r))
     if "spec" in args.gates:
-        report["spec"] = spec_gate(dia.params, dia.config, text, args.seed)
+        # draft depths scale with decoder depth: 2/4/6-of-18 for the deep
+        # fixture (the regime layer-skip drafts actually run in at 1.6B);
+        # 1/2-of-4 for the small one
+        n_layer = dia.config.model.decoder.n_layer
+        depths = tuple(d for d in ((2, 4, 6) if n_layer >= 12 else (1, 2))
+                       if d < n_layer)
+        report["spec"] = spec_gate(dia.params, dia.config, text, args.seed,
+                                   draft_depths=depths)
         for r in report["spec"]:
             print(json.dumps(r))
 
