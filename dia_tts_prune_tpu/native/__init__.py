@@ -108,3 +108,164 @@ def audio_stats(x: np.ndarray) -> tuple[float, float] | None:
     rms = ctypes.c_float()
     lib.audio_stats(_fptr(x), x.size, ctypes.byref(peak), ctypes.byref(rms))
     return float(peak.value), float(rms.value)
+
+
+# ---------------------------------------------------------------------------
+# libaudiodec: compressed-audio decode via the system FFmpeg libraries
+# (libavformat/libavcodec/libswresample) — the torchaudio-equivalent
+# catch-all for mp3/ogg/m4a/... voice prompts.  Builds only when the dev
+# libraries are present; decode_audio_file returns None when unavailable
+# and callers fall through to the in-repo decoders / precise errors.
+
+_ADEC_SO = _DIR / "libaudiodec.so"
+_adec = None
+_adec_tried = False
+
+
+def _build_audiodec() -> bool:
+    src = _DIR / "audiodec.cpp"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_ADEC_SO), str(src),
+             "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load_audiodec() -> ctypes.CDLL | None:
+    global _adec, _adec_tried
+    if _adec is not None:
+        return _adec
+    if _adec_tried:
+        return None
+    _adec_tried = True
+    if not _ADEC_SO.exists() and not _build_audiodec():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_ADEC_SO))
+    except OSError:
+        return None
+    i64, i32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.adec_probe.restype = i64
+    lib.adec_probe.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, i32p, i32p]
+    lib.adec_decode_file.restype = i64
+    lib.adec_decode_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                     f32p, i64, i32p, i32p]
+    _adec = lib
+    return lib
+
+
+def decode_audio_file(path, target_sr: int = 0, mono: bool = False):
+    """Decode any compressed audio file via libav to float32 PCM.
+
+    Returns ``(samples, sample_rate)`` — samples shaped [n] when mono or the
+    source is mono, else [n, channels] — or None when the libav libraries
+    are unavailable or the file cannot be decoded.
+    """
+    lib = load_audiodec()
+    if lib is None:
+        return None
+    p = str(path).encode()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.adec_probe(p, target_sr, int(mono), ctypes.byref(sr), ctypes.byref(ch))
+    if n <= 0:
+        return None
+    nch = max(ch.value, 1)
+    buf = np.empty(int(n) * nch, np.float32)
+    m = lib.adec_decode_file(p, target_sr, int(mono), _fptr(buf), int(n),
+                             ctypes.byref(sr), ctypes.byref(ch))
+    if m <= 0:
+        return None
+    nch = max(ch.value, 1)
+    out = buf[: int(m) * nch]
+    if nch > 1:
+        out = out.reshape(-1, nch)
+    return out, int(sr.value)
+
+
+# ---------------------------------------------------------------------------
+# libmp3dec: the in-repo from-scratch ISO 11172-3 Layer III decoder —
+# the zero-dependency mp3 path (mp3dec.cpp), cross-validated against
+# libaudiodec in tests/test_native.py.
+
+_MP3_SO = _DIR / "libmp3dec.so"
+_mp3 = None
+_mp3_tried = False
+
+
+def _build_mp3dec() -> bool:
+    src = _DIR / "mp3dec.cpp"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_MP3_SO), str(src)],
+            check=True, capture_output=True, timeout=180,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load_mp3dec() -> ctypes.CDLL | None:
+    global _mp3, _mp3_tried
+    if _mp3 is not None:
+        return _mp3
+    if _mp3_tried:
+        return None
+    _mp3_tried = True
+    if not _MP3_SO.exists() and not _build_mp3dec():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_MP3_SO))
+    except OSError:
+        return None
+    i64, i32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.mp3_selftest.restype = ctypes.c_int
+    lib.mp3_probe.restype = i64
+    lib.mp3_probe.argtypes = [u8p, i64, i32p, i32p, i32p]
+    lib.mp3_decode.restype = i64
+    lib.mp3_decode.argtypes = [u8p, i64, f32p, i64, i32p, i32p, i32p]
+    if lib.mp3_selftest() != 0:
+        return None  # huffman tables failed structural validation
+    _mp3 = lib
+    return lib
+
+
+def decode_mp3(data: bytes):
+    """Decode an mp3 byte stream with the in-repo decoder.
+
+    Returns ``(samples, sample_rate, bad_frames)`` — samples [n] mono or
+    [n, 2] stereo — or None when the native decoder is unavailable.
+    """
+    lib = load_mp3dec()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    spf = ctypes.c_int()
+    frames = lib.mp3_probe(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           buf.size, ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(spf))
+    if frames <= 0:
+        return None
+    cap = int(frames + 2) * int(spf.value)
+    nch = max(ch.value, 1)
+    out = np.zeros(cap * nch, np.float32)
+    bad = ctypes.c_int()
+    n = lib.mp3_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       buf.size, _fptr(out), cap, ctypes.byref(sr),
+                       ctypes.byref(ch), ctypes.byref(bad))
+    if n <= 0:
+        return None
+    nch = max(ch.value, 1)
+    pcm = out[: int(n) * nch]
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch)
+    return pcm, int(sr.value), int(bad.value)

@@ -112,14 +112,49 @@ def _read_via_ffmpeg(path: Path) -> "tuple[np.ndarray, int] | None":
     return np.frombuffer(proc.stdout, np.float32)[None, :], rate
 
 
+def _read_via_mp3dec(path: Path) -> "tuple[np.ndarray, int] | None":
+    """In-repo from-scratch mp3 decoder (native/mp3dec.cpp), mp3 only."""
+    head = path.open("rb").read(3)
+    looks_mp3 = head[:2] in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3", b"\xff\xf2") \
+        or head == b"ID3" or path.suffix.lower() == ".mp3"
+    if not looks_mp3:
+        return None
+    from .. import native
+
+    got = native.decode_mp3(path.read_bytes())
+    if got is None:
+        return None
+    pcm, rate, bad = got
+    if bad > 0:  # corrupt frames: fall through to libav for a second opinion
+        return None
+    if pcm.ndim == 1:
+        return pcm[None, :], rate
+    return pcm.T, rate
+
+
+def _read_via_libav(path: Path) -> "tuple[np.ndarray, int] | None":
+    """System FFmpeg libraries via the in-repo shim (native/audiodec.cpp)."""
+    from .. import native
+
+    got = native.decode_audio_file(path)
+    if got is None:
+        return None
+    pcm, rate = got
+    if pcm.ndim == 1:
+        return pcm[None, :], rate
+    return pcm.T, rate
+
+
 def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
     """Read an audio file → (float32 [C, T] in [-1, 1], sample_rate).
 
     Formats: WAV (stdlib) and FLAC (in-repo decoder, utils/flac.py) always
-    work; anything else (mp3, ogg, …) needs the optional ``soundfile``
-    package or an ``ffmpeg`` binary on PATH — the reference decodes such
-    prompts through torchaudio (dia/model.py:551-559).  Raises a ValueError
-    naming the supported formats when no decoder can handle the file."""
+    work; mp3 decodes with the in-repo native decoder (native/mp3dec.cpp);
+    everything else (ogg, m4a, …) goes through the system FFmpeg libraries
+    (native/audiodec.cpp), the optional ``soundfile`` package, or an
+    ``ffmpeg`` binary — the reference decodes such prompts through
+    torchaudio (dia/model.py:551-559).  Raises a ValueError naming the
+    supported formats when no decoder can handle the file."""
     p = Path(path)
     head = p.open("rb").read(4)
     if head == b"RIFF":
@@ -128,7 +163,8 @@ def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
         from .flac import read_flac
 
         return read_flac(p)
-    for reader in (_read_via_soundfile, _read_via_ffmpeg):
+    for reader in (_read_via_mp3dec, _read_via_libav, _read_via_soundfile,
+                   _read_via_ffmpeg):
         try:
             got = reader(p)
         except Exception as e:  # decoder present but failed on this file
@@ -137,10 +173,11 @@ def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
             return got
     suffix = p.suffix or "<no extension>"
     raise ValueError(
-        f"Unsupported audio format {suffix!r} for {p}: WAV and FLAC decode "
-        f"natively; other formats (mp3, ogg, …) require the optional "
-        f"'soundfile' package or an 'ffmpeg' binary on PATH — neither is "
-        f"available. Convert the prompt to .wav or .flac."
+        f"Unsupported audio format {suffix!r} for {p}: WAV, FLAC and mp3 "
+        f"decode natively; other formats (ogg, m4a, …) require the system "
+        f"FFmpeg libraries, the optional 'soundfile' package, or an "
+        f"'ffmpeg' binary on PATH — none is available. Convert the prompt "
+        f"to .wav or .flac."
     )
 
 

@@ -45,3 +45,77 @@ def test_audio_stats():
     peak, rms = native.audio_stats(x)
     assert peak == 1.0
     np.testing.assert_allclose(rms, np.sqrt(np.mean(x**2)), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-audio decode (native/audiodec.cpp via system FFmpeg libraries,
+# native/mp3dec.cpp from-scratch) — the torchaudio replacement
+# (/root/reference/dia/model.py:551-559; bundled prompt example_prompt.mp3).
+
+REF_MP3 = "/root/reference/example_prompt.mp3"
+
+
+def _ref_mp3_available():
+    import os
+
+    return os.path.exists(REF_MP3) and native.load_audiodec() is not None
+
+
+@pytest.mark.skipif(not _ref_mp3_available(),
+                    reason="reference mp3 or libav unavailable")
+def test_libav_decodes_reference_prompt():
+    pcm, sr = native.decode_audio_file(REF_MP3, mono=True)
+    assert sr == 44100
+    assert pcm.ndim == 1
+    dur = pcm.shape[0] / sr
+    assert 2.0 < dur < 10.0, dur
+    rms = float(np.sqrt((pcm ** 2).mean()))
+    assert 0.01 < rms < 0.7, rms          # speech, not silence / clipping
+    assert float(np.abs(pcm).max()) <= 1.0
+
+
+@pytest.mark.skipif(native.load_audiodec() is None, reason="libav unavailable")
+def test_libav_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    got = native.decode_audio_file(p)
+    assert got is None or got[0].shape[0] == 0
+
+
+@pytest.mark.skipif(native.load_mp3dec() is None,
+                    reason="in-repo mp3 decoder unavailable")
+def test_mp3dec_selftest_and_reference_prompt():
+    """The from-scratch decoder's huffman tables pass structural validation
+    (prefix-free, complete) and, when the reference prompt is present, the
+    full file decodes with zero bit-accounting failures and matches the
+    libav oracle closely."""
+    import os
+
+    lib = native.load_mp3dec()
+    assert lib.mp3_selftest() == 0
+    if not os.path.exists(REF_MP3):
+        pytest.skip("reference mp3 absent")
+    got = native.decode_mp3(open(REF_MP3, "rb").read())
+    assert got is not None
+    pcm, sr, bad = got
+    assert sr == 44100
+    assert bad == 0, f"{bad} frames failed bit-exact accounting"
+    if native.load_audiodec() is not None:
+        oracle, osr = native.decode_audio_file(REF_MP3, mono=True)
+        assert osr == sr
+        # Align: decoders differ in startup padding handling; find the lag
+        # that maximizes correlation over the first second, then demand
+        # near-identity (the decoders implement the same spec).
+        n = min(len(pcm), len(oracle), sr)
+        best_lag, best_c = 0, -1.0
+        for lag in range(-2400, 2401, 1):
+            a = pcm[max(lag, 0):max(lag, 0) + n - 4800]
+            b = oracle[max(-lag, 0):max(-lag, 0) + n - 4800]
+            m = min(len(a), len(b))
+            if m < 1000:
+                continue
+            c = float(np.dot(a[:m], b[:m]) /
+                      (np.linalg.norm(a[:m]) * np.linalg.norm(b[:m]) + 1e-12))
+            if c > best_c:
+                best_c, best_lag = c, lag
+        assert best_c > 0.99, (best_c, best_lag)
