@@ -114,7 +114,8 @@ def main():
     from xprof.convert import raw_to_tool_data
 
     data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], args.tool, {})
-    out = Path("/tmp/decode_" + args.tool.replace("^", "") + ".out")
+    tag = args.variant.replace("/", "_") + ("_kvq" if args.kv_int8 else "")
+    out = Path(f"/tmp/decode_{args.tool.replace('^', '')}_{tag}.out")
     if isinstance(data, bytes):
         out.write_bytes(data)
     else:
