@@ -21,6 +21,14 @@ _lib = None
 _tried = False
 
 
+
+def _stale(so, *sources) -> bool:
+    """True when the built library is missing or older than any source."""
+    if not so.exists():
+        return True
+    t = so.stat().st_mtime
+    return any(src.exists() and src.stat().st_mtime > t for src in sources)
+
 def _build() -> bool:
     src = _DIR / "audioproc.cpp"
     try:
@@ -41,7 +49,7 @@ def load() -> ctypes.CDLL | None:
     if _tried:
         return None
     _tried = True
-    if not _SO.exists() and not _build():
+    if _stale(_SO, _DIR / 'audioproc.cpp') and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -142,7 +150,7 @@ def load_audiodec() -> ctypes.CDLL | None:
     if _adec_tried:
         return None
     _adec_tried = True
-    if not _ADEC_SO.exists() and not _build_audiodec():
+    if _stale(_ADEC_SO, _DIR / 'audiodec.cpp') and not _build_audiodec():
         return None
     try:
         lib = ctypes.CDLL(str(_ADEC_SO))
@@ -217,7 +225,8 @@ def load_mp3dec() -> ctypes.CDLL | None:
     if _mp3_tried:
         return None
     _mp3_tried = True
-    if not _MP3_SO.exists() and not _build_mp3dec():
+    if _stale(_MP3_SO, _DIR / 'mp3dec.cpp', _DIR / 'mp3_tables.h',
+              _DIR / 'mp3_synth_window.h') and not _build_mp3dec():
         return None
     try:
         lib = ctypes.CDLL(str(_MP3_SO))

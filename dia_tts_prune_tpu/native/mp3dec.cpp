@@ -1028,6 +1028,12 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
   int64_t written = 0;
   bool first = true;
   int nch = 1;
+  // Gapless playback info (Xing/Info + LAME tag in the first frame):
+  // encoder delay + 529-sample decoder delay trimmed from the front,
+  // encoder padding from the back — matches libav's handling, which also
+  // skips the whole tag frame.  Defaults: no trim for headerless streams.
+  int64_t trim_front = 0, trim_back = 0;
+  bool tag_checked = false;
   while (i + 4 <= nbytes) {
     FrameHeader h;
     if (!(data[i] == 0xFF && (data[i + 1] & 0xE0) == 0xE0 && parse_header(&data[i], &h))) {
@@ -1035,6 +1041,43 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
       continue;
     }
     if (i + h.frame_bytes > nbytes) break;
+    if (!tag_checked) {
+      tag_checked = true;
+      // Xing/Info magic sits right after the (all-zero) side info of the
+      // first frame; the LAME extension carries encoder delay/padding.
+      int side = h.mpeg1() ? (h.nchan() == 1 ? 17 : 32)
+                           : (h.nchan() == 1 ? 9 : 17);
+      int64_t off = i + 4 + (h.crc_protected ? 2 : 0) + side;
+      if (off + 4 <= nbytes &&
+          (memcmp(&data[off], "Xing", 4) == 0 ||
+           memcmp(&data[off], "Info", 4) == 0)) {
+        // flags -> optional fields before the LAME block
+        uint32_t flags = ((uint32_t)data[off + 4] << 24) |
+                         (data[off + 5] << 16) | (data[off + 6] << 8) |
+                         data[off + 7];
+        int64_t p = off + 8;
+        if (flags & 1) p += 4;   // frame count
+        if (flags & 2) p += 4;   // byte count
+        if (flags & 4) p += 100; // TOC
+        if (flags & 8) p += 4;   // quality
+        // LAME tag: 20 bytes of version string etc.; delay/padding are the
+        // 3 bytes at offset +21 from its start (12+12 bits)
+        if (p + 24 <= nbytes) {
+          int64_t lame = p;       // "LAME..." version string
+          int64_t dp = lame + 21;
+          if (dp + 3 <= nbytes) {
+            int delay = (data[dp] << 4) | (data[dp + 1] >> 4);
+            int padding = ((data[dp + 1] & 0x0F) << 8) | data[dp + 2];
+            if (delay >= 0 && delay < 4096 && padding >= 0 && padding < 4096) {
+              trim_front = delay + 529;
+              trim_back = padding > 529 ? padding - 529 : 0;
+            }
+          }
+        }
+        i += h.frame_bytes;  // the tag frame carries no audio
+        continue;
+      }
+    }
     if (first) {
       *sample_rate = h.sample_rate;
       nch = h.nchan();
@@ -1150,7 +1193,15 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
     i += h.frame_bytes;
   }
   *bad_frames = dec.bad_frames;
-  return first ? -1 : written;
+  if (first) return -1;
+  // gapless trim (LAME tag): drop encoder+decoder delay from the front and
+  // encoder padding from the back
+  if (trim_front + trim_back > 0 && written > trim_front + trim_back) {
+    written -= trim_front + trim_back;
+    memmove(out, out + trim_front * nch,
+            (size_t)written * nch * sizeof(float));
+  }
+  return written;
 }
 
 }  // extern "C"

@@ -45,10 +45,15 @@ from synth_frames import (  # noqa: E402
 )
 
 LINBITS = {16: 1, 24: 4}
-POW43 = np.array([float(n) ** (4.0 / 3.0) for n in range(16)])
+PROBE_GG = 189          # gain 2^(-21/4): value 15 -> 0.97, under the ~16.0
+                        # fixed-point ceiling where libav zeroes a line
+PROBE_GAIN = 2.0 ** ((PROBE_GG - 210) / 4.0)
+POW43 = np.array([float(n) ** (4.0 / 3.0) for n in range(16)]) * PROBE_GAIN
+ATOL = 0.02 * PROBE_GAIN
 
 
-def build_bigvalue_frame(table: int, bits_g0: str, big_values: int) -> bytes:
+def build_bigvalue_frame(table: int, bits_g0: str, big_values: int,
+                         global_gain: int = 210) -> bytes:
     side = BitWriter()
     side.write(0, 9)
     side.write(0, 5)
@@ -57,7 +62,7 @@ def build_bigvalue_frame(table: int, bits_g0: str, big_values: int) -> bytes:
         nbits = len(bits_g0) if g == 0 else 0
         side.write(nbits, 12)          # part2_3_length
         side.write(big_values if g == 0 else 0, 9)
-        side.write(210, 8)             # global_gain -> gain 1
+        side.write(global_gain, 8)     # 210 -> gain 1
         side.write(0, 4)               # scalefac_compress
         side.write(0, 1)               # window_switching
         for r in range(3):
@@ -124,15 +129,15 @@ class ProbeBatch:
 
 def classify_amp(a: np.ndarray, resid: float, total: float):
     """-> (x, y) if the spectrum is a clean positive pair at lines 0/1."""
-    if total < 1e-6:
+    if total < 1e-9:
         return None  # silence
     if resid > 1e-4 * max(total, 1.0):
         return "junk"
-    if abs(a[2]) > 0.05 or abs(a[3]) > 0.05:
+    if abs(a[2]) > ATOL or abs(a[3]) > ATOL:
         return "junk"
     def match(v):
         k = int(np.argmin(np.abs(POW43 - v)))
-        return k if abs(POW43[k] - v) < 0.05 else None
+        return k if abs(POW43[k] - v) < ATOL else None
     x, y = match(a[0]), match(a[1])
     if x is None or y is None:
         return "junk"
@@ -169,10 +174,10 @@ def extract_table(table: int, resp: np.ndarray, max_len: int = 20):
                     c, sx, sy = sentinel
                     bits = (s + "0" * e + c
                             + "0" * _expect_e(sx, sy, linbits))
-                    idx = batch.add(build_bigvalue_frame(table, bits, 2))
+                    idx = batch.add(build_bigvalue_frame(table, bits, 2, global_gain=PROBE_GG))
                 else:
                     idx = batch.add(
-                        build_bigvalue_frame(table, s + "0" * e, 1))
+                        build_bigvalue_frame(table, s + "0" * e, 1, global_gain=PROBE_GG))
                 probes.append((s, e, idx))
         batch.run()
         resolved = {}
@@ -182,14 +187,14 @@ def extract_table(table: int, resp: np.ndarray, max_len: int = 20):
             a, resid, total = batch.amplitudes(idx)
             if use_sentinel:
                 c, sx, sy = sentinel
-                if total < 1e-6 or resid > 1e-4 * max(total, 1.0):
+                if total < 1e-9 or resid > 1e-4 * max(total, 1e-4):
                     continue
-                if (abs(a[2] - POW43[sx]) > 0.05
-                        or abs(a[3] - POW43[sy]) > 0.05):
+                if (abs(a[2] - POW43[sx]) > ATOL
+                        or abs(a[3] - POW43[sy]) > ATOL):
                     continue
                 def match(v):
                     k = int(np.argmin(np.abs(POW43 - v)))
-                    return k if abs(POW43[k] - v) < 0.05 else None
+                    return k if abs(POW43[k] - v) < ATOL else None
                 x, y = match(a[0]), match(a[1])
                 if x is None or y is None:
                     continue
@@ -229,9 +234,9 @@ def extract_table(table: int, resp: np.ndarray, max_len: int = 20):
             if sentinel is not None:
                 c, sx, sy = sentinel
                 bits += c + sign_bits(sx, sy, "0")
-                idxs[s] = batch.add(build_bigvalue_frame(table, bits, 2))
+                idxs[s] = batch.add(build_bigvalue_frame(table, bits, 2, global_gain=PROBE_GG))
             else:
-                idxs[s] = batch.add(build_bigvalue_frame(table, bits, 1))
+                idxs[s] = batch.add(build_bigvalue_frame(table, bits, 1, global_gain=PROBE_GG))
         if not batch.frames:
             return dict(cands)
         batch.run()
@@ -241,14 +246,16 @@ def extract_table(table: int, resp: np.ndarray, max_len: int = 20):
                 out[s] = (x, y)
                 continue
             a, resid, total = batch.amplitudes(idxs[s])
-            if total < 1e-6 or resid > 1e-4 * max(total, 1.0):
+            if total < 1e-9 or resid > 1e-4 * max(total, 1e-4):
                 continue
-            if abs(a[0] + POW43[x]) > 0.05 or abs(a[1] + POW43[y]) > 0.05:
+            exs = -POW43[x] if x else 0.0
+            eys = -POW43[y] if y else 0.0
+            if abs(a[0] - exs) > ATOL or abs(a[1] - eys) > ATOL:
                 continue
             if sentinel is not None:
                 c, sx, sy = sentinel
-                if (abs(a[2] - POW43[sx]) > 0.05
-                        or abs(a[3] - POW43[sy]) > 0.05):
+                if (abs(a[2] - POW43[sx]) > ATOL
+                        or abs(a[3] - POW43[sy]) > ATOL):
                     continue
             elif abs(a[2]) > 0.05 or abs(a[3]) > 0.05:
                 continue
