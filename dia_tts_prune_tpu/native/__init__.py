@@ -163,6 +163,9 @@ def load_audiodec() -> ctypes.CDLL | None:
     lib.adec_decode_file.restype = i64
     lib.adec_decode_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                      f32p, i64, i32p, i32p]
+    lib.adec_encode_mp3.restype = ctypes.c_int
+    lib.adec_encode_mp3.argtypes = [ctypes.c_char_p, f32p, i64, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
     _adec = lib
     return lib
 
@@ -278,3 +281,18 @@ def decode_mp3(data: bytes):
     if nch > 1:
         pcm = pcm.reshape(-1, nch)
     return pcm, int(sr.value), int(bad.value)
+
+
+def encode_mp3(path, pcm: np.ndarray, sample_rate: int,
+               bitrate_kbps: int = 128) -> bool:
+    """Encode float PCM ([n] mono or [n, ch] interleaved-able) to .mp3 via
+    libmp3lame (through libavcodec).  Returns False when unavailable."""
+    lib = load_audiodec()
+    if lib is None or not hasattr(lib, "adec_encode_mp3"):
+        return False
+    x = np.ascontiguousarray(pcm, np.float32)
+    nch = 1 if x.ndim == 1 else int(x.shape[1])
+    flat = np.ascontiguousarray(x.reshape(-1))
+    rc = lib.adec_encode_mp3(str(path).encode(), _fptr(flat),
+                             x.shape[0], sample_rate, nch, bitrate_kbps)
+    return rc == 0

@@ -162,4 +162,63 @@ int64_t adec_decode_file(const char* path, int target_sr, int mono,
   return n;
 }
 
+// Encode interleaved float PCM to an .mp3 file via libmp3lame (through
+// libavcodec).  Returns 0 on success, a positive error code otherwise.
+// Used for mp3 export and as the real-encoder driver for validating the
+// in-repo decoder's stereo / MPEG-2-LSF paths (tests/test_native.py).
+int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
+                    int sample_rate, int nch, int bitrate_kbps) {
+  av_log_set_level(AV_LOG_ERROR);
+  const AVCodec* codec = avcodec_find_encoder_by_name("libmp3lame");
+  if (!codec) return 1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  ctx->sample_rate = sample_rate;
+  av_channel_layout_default(&ctx->ch_layout, nch);
+  ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  ctx->bit_rate = (int64_t)bitrate_kbps * 1000;
+  if (avcodec_open2(ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    return 2;
+  }
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    avcodec_free_context(&ctx);
+    return 3;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t pos = 0;
+  int rc = 0;
+  auto drain = [&]() {
+    while (avcodec_receive_packet(ctx, pkt) >= 0) {
+      fwrite(pkt->data, 1, pkt->size, f);
+      av_packet_unref(pkt);
+    }
+  };
+  while (pos < n_samples && !rc) {
+    int chunk = ctx->frame_size > 0 ? ctx->frame_size : 1152;
+    if (pos + chunk > n_samples) chunk = (int)(n_samples - pos);
+    frame->nb_samples = chunk;
+    frame->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+    frame->sample_rate = sample_rate;
+    if (av_frame_get_buffer(frame, 0) < 0) { rc = 4; break; }
+    for (int c = 0; c < nch; c++) {
+      float* dst = (float*)frame->data[c];
+      for (int i = 0; i < chunk; i++) dst[i] = pcm[(pos + i) * nch + c];
+    }
+    if (avcodec_send_frame(ctx, frame) < 0) rc = 5;
+    drain();
+    av_frame_unref(frame);
+    pos += chunk;
+  }
+  avcodec_send_frame(ctx, nullptr);
+  drain();
+  fclose(f);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  return rc;
+}
+
 }  // extern "C"

@@ -118,7 +118,8 @@ const int kSfbLong1[3][23] = {
     {0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156, 190,
      230, 276, 330, 384, 576},  // 48000
     {0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194, 240,
-     296, 364, 448, 576}};      // 32000
+     296, 364, 448, 550, 576}}; // 32000 (550 oracle-recovered; the row had
+                                // only 22 entries -> bl[22] read as 0)
 const int kSfbShort1[3][14] = {
     {0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192},   // 44100
     {0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192},   // 48000
@@ -128,7 +129,8 @@ const int kSfbLong2[3][23] = {
     {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
      284, 336, 396, 464, 522, 576},  // 22050
     {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162, 194, 232,
-     278, 332, 394, 464, 540, 576},  // 24000
+     278, 330, 394, 464, 540, 576},  // 24000 (row oracle-recovered:
+                                     // tools/mp3_recover/boundary_recover.py)
     {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
      284, 336, 396, 464, 522, 576}}; // 16000
 const int kSfbShort2[3][14] = {

@@ -110,3 +110,73 @@ def test_mp3dec_selftest_and_reference_prompt():
         snr = 10 * np.log10(float((oracle ** 2).sum()) /
                             max(float((err ** 2).sum()), 1e-30))
         assert snr > 90.0, snr
+
+
+@pytest.mark.skipif(native.load_audiodec() is None or native.load_mp3dec() is None,
+                    reason="libav or mp3dec unavailable")
+def test_mp3dec_vs_lame_matrix(tmp_path):
+    """Encode real LAME streams (via libavcodec/libmp3lame) across rates,
+    channel modes and MPEG versions, and demand the from-scratch decoder
+    match the libav decode.  MPEG-1 rates are float-rounding exact
+    (>=90 dB); MPEG-2 LSF rates are near-exact (>=40 dB — the residual is
+    libav's fixed-point clamp of occasional large spectral values, mine
+    decodes them literally; both transparent)."""
+    if not hasattr(native.load_audiodec(), "adec_encode_mp3"):
+        pytest.skip("libav build lacks encoder entry")
+    rng = np.random.default_rng(0)
+    cases = [  # (sr, nch, kbps, min_snr)
+        (44100, 1, 128, 90.0),
+        (44100, 2, 160, 90.0),
+        (32000, 1, 96, 90.0),
+        (22050, 1, 64, 60.0),
+        (16000, 1, 48, 60.0),
+        (24000, 2, 64, 40.0),
+    ]
+    for sr, nch, kbps, min_snr in cases:
+        t = np.arange(int(sr * 1.2)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 440 * t)
+               + 0.2 * np.sin(2 * np.pi * 1330 * t * (1 + 0.3 * np.sin(2 * np.pi * 2 * t)))
+               + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        pcm = sig if nch == 1 else np.stack([sig, np.roll(sig, 50) * 0.8], 1)
+        path = tmp_path / f"m_{sr}_{nch}.mp3"
+        assert native.encode_mp3(path, pcm, sr, kbps), (sr, nch)
+        ours = native.decode_mp3(path.read_bytes())
+        assert ours is not None, (sr, nch)
+        po, osr, bad = ours
+        assert osr == sr and bad == 0, (sr, nch, bad)
+        ref = native.decode_audio_file(path)
+        pr = ref[0]
+        po = po.reshape(len(po), -1)
+        pr = pr.reshape(len(pr), -1)
+        n = min(len(po), len(pr))
+        err = po[:n] - pr[:n]
+        snr = 10 * np.log10(float((pr[:n] ** 2).sum())
+                            / max(float((err ** 2).sum()), 1e-30))
+        assert snr >= min_snr, (sr, nch, snr)
+
+
+@pytest.mark.skipif(native.load_audiodec() is None, reason="libav unavailable")
+def test_encode_mp3_roundtrip(tmp_path):
+    """mp3 EXPORT capability: encode -> decode round trip preserves the
+    signal (perceptual codec: correlation, not bit-exactness)."""
+    if not hasattr(native.load_audiodec(), "adec_encode_mp3"):
+        pytest.skip("libav build lacks encoder entry")
+    sr = 44100
+    t = np.arange(sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    path = tmp_path / "rt.mp3"
+    assert native.encode_mp3(path, sig, sr, 128)
+    got = native.decode_audio_file(path, mono=True)
+    assert got is not None
+    pcm, osr = got
+    assert osr == sr
+    # raw LAME streams (no muxer) carry no gapless tag -> align by lag
+    n = min(len(pcm), len(sig)) - 3000
+    best = -1.0
+    for lag in range(0, 2500, 4):
+        a, b = pcm[lag:lag + n], sig[:n]
+        m = min(len(a), len(b))
+        c = float(np.dot(a[:m], b[:m])
+                  / (np.linalg.norm(a[:m]) * np.linalg.norm(b[:m]) + 1e-12))
+        best = max(best, c)
+    assert best > 0.95, best
