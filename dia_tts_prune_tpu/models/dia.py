@@ -25,6 +25,7 @@ per-token graph; lets XLA update each cache buffer in place inside the
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -715,7 +716,12 @@ def decode_step_scan(
     xs_in += (crk, crv)
     if quant_cross:
         xs_in += (crks, crvs)
-    x, (ks, vs) = jax.lax.scan(layer_fn, x, xs_in)
+    # DIA_SCAN_UNROLL>1 unrolls that many layer iterations per scan step —
+    # fewer loop-body launches and cross-layer scheduling slack for XLA at
+    # the cost of a bigger program (read at trace time; default 1; measured
+    # round 5, see docs/PERF.md).
+    unroll = int(os.environ.get("DIA_SCAN_UNROLL", "1") or 1)
+    x, (ks, vs) = jax.lax.scan(layer_fn, x, xs_in, unroll=unroll)
     w = write_slot.astype(jnp.int32)
     if w.ndim == 1:
         # per-row commit slots: vmap the update over the batch axis (row b's
