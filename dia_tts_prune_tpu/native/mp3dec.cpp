@@ -137,6 +137,21 @@ const int kSfbShort2[3][14] = {
     {0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192},
     {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192},
     {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192}};
+// MPEG-2.5 rows (11025/12000/8000) — oracle-recovered
+// (tools/mp3_recover/boundary_recover.py): 11.025/12 kHz share the 22.05 kHz
+// long row and the 16 kHz short row; 8 kHz has doubled widths with
+// degenerate 2-line top bands.
+const int kSfbLong25[3][23] = {
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},  // 11025
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},  // 12000
+    {0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280, 336, 400,
+     476, 566, 568, 570, 572, 574, 576}};  // 8000
+const int kSfbShort25[3][14] = {
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192},   // 11025
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192},   // 12000
+    {0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192}};  // 8000
 
 // Pretab (spec 2.4.3.4.5): extra scaling for the upper long bands.
 const int kPretab[22] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -332,11 +347,13 @@ int sfb_table_row(const FrameHeader& h) {
 
 const int* sfb_long(const FrameHeader& h) {
   int r = sfb_table_row(h);
-  return h.mpeg1() ? kSfbLong1[r] : kSfbLong2[r];
+  if (h.mpeg1()) return kSfbLong1[r];
+  return h.version == 2 ? kSfbLong2[r] : kSfbLong25[r];
 }
 const int* sfb_short(const FrameHeader& h) {
   int r = sfb_table_row(h);
-  return h.mpeg1() ? kSfbShort1[r] : kSfbShort2[r];
+  if (h.mpeg1()) return kSfbShort1[r];
+  return h.version == 2 ? kSfbShort2[r] : kSfbShort25[r];
 }
 
 // ---------------------------------------------------------------------------

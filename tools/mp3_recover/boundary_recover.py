@@ -330,3 +330,213 @@ def recover_long_row_v1(sr: int, kbps: int = 128):
     bounds.append(576)
     print(f"sr={sr} MPEG-1 LONG row: {bounds}")
     return bounds
+
+
+# ---------------------------------------------------------------------------
+# Short-block (block_type 2) support: reorder + 12-point IMDCT model, and
+# short-row recovery for both MPEG-1 and LSF rates.
+
+_N12 = np.array([[np.cos(np.pi / 24 * (2 * n + 1 + 6) * (2 * k + 1))
+                  for k in range(6)] for n in range(12)])
+_WIN2 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+
+
+def reorder_short(xr576: np.ndarray, bs: list[int]) -> np.ndarray:
+    out = np.zeros(576)
+    src = 0
+    for b in range(13):
+        width = bs[b + 1] - bs[b]
+        for w in range(3):
+            for k in range(width):
+                dst = 3 * bs[b] + 3 * k + w
+                if dst < 576 and src < 576:
+                    out[dst] = xr576[src]
+                src += 1
+    return out
+
+
+def granule_subband_samples_short(xr576: np.ndarray, overlap: np.ndarray):
+    """Short-block granule: per subband three 12-point IMDCTs overlapped."""
+    out = np.zeros((18, 32))
+    for sb in range(32):
+        spec = xr576[18 * sb: 18 * (sb + 1)]
+        tmp = np.zeros(36)
+        for w in range(3):
+            s = (_N12 @ spec[w::3]) * _WIN2
+            off = 6 + w * 6
+            tmp[off: off + 12] += s
+        first, tail = tmp[:18], tmp[18:]
+        s = first + overlap[sb]
+        overlap[sb] = tail
+        if sb % 2 == 1:
+            s[1::2] = -s[1::2]
+        out[:, sb] = s
+    return out
+
+
+def _short_resp_matrix(bs: list[int]):
+    """Response matrix for REORDERED short-block spectra: line index is the
+    pre-reorder (decoded) index 0..575."""
+    D = np.load(HERE / "recovered_window.npy")
+    R = []
+    for line in range(576):
+        overlap = np.zeros((32, 18))
+        model = SynthModel()
+        raw = np.zeros(576)
+        raw[line] = 1.0
+        xr = reorder_short(raw, bs)
+        # NOTE: alias reduction does NOT apply to pure short blocks
+        outs = []
+        slots = granule_subband_samples_short(xr, overlap)
+        for s in range(18):
+            outs.append(model.push_slot(slots[s]) @ D)
+        for _ in range(2):
+            slots = granule_subband_samples(np.zeros(576), overlap)
+            for s in range(18):
+                outs.append(model.push_slot(slots[s]) @ D)
+        R.append(np.concatenate(outs))
+    return np.stack(R)
+
+
+def build_v1_short_frame(sr: int, kbps: int, sf_short, quad_lines: int,
+                         global_gain: int = 210) -> bytes:
+    """MPEG-1 mono short-block (bt=2, not mixed) frame; scalefac_compress=9
+    (slen1=slen2=2); sf_short: [12 bands][3 windows]."""
+    from synth_frames import BitWriter
+    header, frame_bytes = v1_header(sr, kbps)
+    md = BitWriter()
+    for b in range(6):
+        for w in range(3):
+            md.write(sf_short[b][w] if b < len(sf_short) else 0, 2)
+    for b in range(6, 12):
+        for w in range(3):
+            md.write(sf_short[b][w] if b < len(sf_short) else 0, 2)
+    for _ in range(quad_lines // 4):
+        md.write(0b0000, 4)
+        md.write(0, 4)
+    side = BitWriter()
+    side.write(0, 9)
+    side.write(0, 5)
+    side.write(0, 4)
+    for g in range(2):
+        side.write(md.nbits() if g == 0 else 0, 12)
+        side.write(0, 9)
+        side.write(global_gain, 8)
+        side.write(9 if g == 0 else 0, 4)   # scalefac_compress
+        side.write(1 if g == 0 else 0, 1)   # window_switching
+        if g == 0:
+            side.write(2, 2)   # block_type 2
+            side.write(0, 1)   # not mixed
+            side.write(1, 5)
+            side.write(1, 5)
+            for _ in range(3):
+                side.write(0, 3)  # subblock_gain
+        else:
+            for _ in range(3):
+                side.write(1, 5)
+            side.write(0, 4)
+            side.write(0, 3)
+        side.write(0, 1)
+        side.write(0, 1)
+        side.write(1, 1)
+    return header + side.tobytes(17) + md.tobytes(frame_bytes - 4 - 17)
+
+
+def build_lsf_short_frame(sr: int, kbps: int, sf_short, quad_lines: int,
+                          global_gain: int = 210) -> bytes:
+    """LSF mono short frame: sfc chosen so slens (2,2,2,2), partitions
+    {9,9,9,9} in short mode -> 36 raw values = 12 bands x 3 windows."""
+    from synth_frames import BitWriter
+    header, frame_bytes = lsf_header(sr, kbps)
+    md = BitWriter()
+    raw = []
+    for b in range(12):
+        for w in range(3):
+            raw.append(sf_short[b][w] if b < len(sf_short) else 0)
+    for v in raw:   # partitions 9,9,9,9 with slen 2 each
+        md.write(v, 2)
+    for _ in range(quad_lines // 4):
+        md.write(0b0000, 4)
+        md.write(0, 4)
+    # sfc for slens (2,2,2,2), sfc<400: (sfc>>4)/5=2,(sfc>>4)%5=2 -> hi4=12
+    # (sfc&15)>>2=2, &3=2 -> low4=10 -> sfc=202
+    side = BitWriter()
+    side.write(0, 8)
+    side.write(0, 1)
+    side.write(md.nbits(), 12)
+    side.write(0, 9)
+    side.write(global_gain, 8)
+    side.write(202, 9)
+    side.write(1, 1)   # window_switching
+    side.write(2, 2)   # block_type 2
+    side.write(0, 1)   # not mixed
+    side.write(1, 5)
+    side.write(1, 5)
+    for _ in range(3):
+        side.write(0, 3)
+    side.write(0, 1)
+    side.write(1, 1)
+    return header + side.tobytes(9) + md.tobytes(frame_bytes - 4 - 9)
+
+
+def recover_short_row(sr: int, mpeg1: bool, kbps: int = 128):
+    """Probe each short band's 3 windows together; decoded-order members
+    reveal widths.  Response uses identity bs (memberships read in decoded
+    order: band b covers decoded lines [3*bs[b], 3*bs[b+1]) )."""
+    if "Rs" not in _RESP_CACHE:
+        # decoded-order responses: model with identity reorder — i.e. the
+        # response of DECODED line i given candidate bs is independent of
+        # bs only through reorder; use the response for REORDERED index
+        # directly by probing in decoded order with a fixed assumed bs.
+        # Instead: compute responses for the POST-reorder layout (one per
+        # spectral position) and map probes through candidate widths.
+        D = np.load(HERE / "recovered_window.npy")
+        R = []
+        for pos in range(576):
+            overlap = np.zeros((32, 18))
+            model = SynthModel()
+            xr = np.zeros(576)
+            xr[pos] = 1.0
+            outs = []
+            slots = granule_subband_samples_short(xr, overlap)
+            for s in range(18):
+                outs.append(model.push_slot(slots[s]) @ D)
+            for _ in range(2):
+                slots = granule_subband_samples(np.zeros(576), overlap)
+                for s in range(18):
+                    outs.append(model.push_slot(slots[s]) @ D)
+            R.append(np.concatenate(outs))
+        R = np.stack(R)
+        _RESP_CACHE["Rs"] = R
+        _RESP_CACHE["pinvs"] = np.linalg.pinv(R.T)
+    build = build_v1_short_frame if mpeg1 else build_lsf_short_frame
+    base_frame = build(sr, kbps, [[0] * 3] * 12, 576)
+    spacer = (build_v1_frame(sr, kbps, [], 0, 0) if mpeg1
+              else build_lsf_frame(sr, kbps, [], (0, 0, 0, 0), 0, 0))
+    def probe(sf):
+        pcm, got = oracle_decode(build(sr, kbps, sf, 576) + spacer * 2)
+        T = _RESP_CACHE["Rs"].shape[1]
+        if len(pcm) < T:
+            pcm = np.pad(pcm, (0, T - len(pcm)))
+        return _RESP_CACHE["pinvs"] @ pcm[:T]
+    base = probe([[0] * 3] * 12)
+    bounds = [0]
+    for b in range(12):
+        sf = [[0] * 3 for _ in range(12)]
+        sf[b] = [2, 2, 2]
+        g = probe(sf)
+        ratio = np.where(np.abs(base) > 0.05, g / np.where(base == 0, 1, base), 1.0)
+        members = np.where(ratio < 0.75)[0]   # POST-reorder positions
+        if len(members) == 0:
+            print(f"sr={sr} short band {b}: EMPTY")
+            continue
+        lo, hi = int(members.min()), int(members.max()) + 1
+        # post-reorder positions of band b = [3*bs[b], 3*bs[b+1])
+        assert lo % 3 == 0 and hi % 3 == 0, (lo, hi)
+        assert lo // 3 == bounds[-1], (b, lo // 3, bounds)
+        bounds.append(hi // 3)
+        print(f"sr={sr} short band {b}: lines [{lo//3},{hi//3}) width {hi//3-lo//3}")
+    bounds.append(192)
+    tag = "MPEG-1" if mpeg1 else "LSF"
+    print(f"sr={sr} {tag} SHORT row: {bounds}")
+    return bounds
