@@ -66,6 +66,20 @@ def int4_matmul_grouped(x, w_q, scale):
     return y.astype(x.dtype)
 
 
+def int4_matmul_grouped_kng(x, w_q, scale):
+    """Contraction-minor grouped layout: w_q int4 [K//G, N, G], scale
+    [K//G, N].  Same math as ``int4_matmul_grouped``; the G-minor order
+    streams measurably faster on v5e GEMV shapes (docs/PERF.md round 5)."""
+    n_groups, N, G = w_q.shape
+    dt = _mm_dtype(x)
+    x3 = x.reshape(x.shape[0], n_groups, G).astype(dt)
+    part = jnp.einsum(
+        "bkg,kng->bkn", x3, w_q.astype(dt),
+        preferred_element_type=jnp.float32)
+    y = jnp.einsum("bkn,kn->bn", part, scale.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def int4_matmul_nibble(x, w_b, scale):
     """Nibble layout, per-column scales: x [B, K] @ bytes int8 [K//2, N].
 

@@ -120,6 +120,10 @@ def _dense_general_q4(x: jax.Array, qk, axis: tuple[int, ...]) -> jax.Array:
             y = int4_matmul_nibble_grouped(x2, qk.values, qk.scale)
     elif qk.group is None:
         y = int4_matmul_upcast(x2, qk.values, qk.scale.reshape(-1))
+    elif getattr(qk, "layout", "kgn") == "kng":
+        from .kernels.int4_matmul import int4_matmul_grouped_kng
+
+        y = int4_matmul_grouped_kng(x2, qk.values, qk.scale)
     else:
         y = int4_matmul_grouped(x2, qk.values, qk.scale)
     return y.reshape(*lead, *qk.out_shape)

@@ -255,10 +255,10 @@ class Quantized4Kernel:
     """
 
     __slots__ = ("values", "scale", "in_shape", "out_shape", "group", "nibble",
-                 "halfsplit")
+                 "halfsplit", "layout")
 
     def __init__(self, values, scale, in_shape, out_shape, group, nibble=False,
-                 halfsplit=False):
+                 halfsplit=False, layout="kgn"):
         self.values = values
         self.scale = scale
         self.in_shape = tuple(in_shape)
@@ -266,11 +266,14 @@ class Quantized4Kernel:
         self.group = group
         self.nibble = bool(nibble)
         self.halfsplit = bool(halfsplit)
+        # grouped S4 memory order: "kgn" = [K/G, G, N] (classic) or "kng" =
+        # [K/G, N, G] (contraction-minor; measured faster on v5e — PERF.md r5)
+        self.layout = layout
 
     def tree_flatten(self):
         return (self.values, self.scale), (
             self.in_shape, self.out_shape, self.group, self.nibble,
-            self.halfsplit)
+            self.halfsplit, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -385,15 +388,29 @@ def unpack_to_s4(qk: Quantized4Kernel) -> Quantized4Kernel:
     """
     if not qk.nibble:
         return qk
+    import os as _os
+
     v8 = unpack_nibble_rows(qk.values, qk.halfsplit)  # [*, K, N] int8
     v4 = v8.astype(jnp.int4)
+    layout = "kgn"
     if qk.group is not None:
         lead = v4.shape[:-2]
         K, N = v4.shape[-2], v4.shape[-1]
         v4 = v4.reshape(*lead, K // qk.group, qk.group, N)
+        # contraction-minor order: -38% on the ISOLATED 18-layer MLP chain
+        # (tools/microbench_int4.py s4_kng_res 0.571 vs s4_kgn_res 0.921 ms)
+        # but +16% on the FULL decode step (1.695 vs 1.46 ms/step, r5 —
+        # the win does not survive scheduling against the interleaved
+        # attention/cache ops).  Default stays kgn; DIA_INT4_LAYOUT=kng is
+        # the recorded negative (trace-time flag).
+        if _os.environ.get("DIA_INT4_LAYOUT", "kgn") == "kng":
+            perm = tuple(range(len(lead))) + (
+                len(lead), len(lead) + 2, len(lead) + 1)
+            v4 = v4.transpose(perm)
+            layout = "kng"
     return Quantized4Kernel(
         v4, qk.scale, qk.in_shape, qk.out_shape, qk.group,
-        nibble=False, halfsplit=False)
+        nibble=False, halfsplit=False, layout=layout)
 
 
 def unpack_params_s4(params: Params) -> Params:
@@ -439,6 +456,11 @@ def dequantize4(qk: Quantized4Kernel, dtype=jnp.float32) -> jax.Array:
         w2 = v * qk.scale.reshape(*lead, 1, v.shape[-1])
     else:
         lead = v.shape[:-3]
+        if getattr(qk, "layout", "kgn") == "kng":
+            # [*, K/G, N, G] -> [*, K/G, G, N]
+            perm = tuple(range(len(lead))) + (
+                len(lead), len(lead) + 2, len(lead) + 1)
+            v = v.transpose(perm)
         s = qk.scale.reshape(*lead, v.shape[-3], 1, v.shape[-1])
         w2 = (v * s).reshape(*lead, v.shape[-3] * v.shape[-2], v.shape[-1])
     return w2.reshape(*lead, *qk.in_shape, *qk.out_shape).astype(dtype)

@@ -200,14 +200,142 @@ def main():
         x, _ = jax.lax.scan(layer, x, packs)
         return x
 
+
+    # ------------------------------------------------------------------
+    # S4-layout ablations (round 5): production converts nibble bytes to
+    # XLA-native S4 ONCE inside the jit (generate._maybe_unpack_s4) and the
+    # hlo decomposition shows the GEMV fusions at ~74%% of the HBM roof.
+    # These variants unpack to S4 in DIFFERENT memory layouts before an
+    # identical scan, asking whether contraction-dim-minor (kng) or a plain
+    # 2-D (kn) layout streams better than the current [K/G, G, N].
+    def _unpack_s4(b):  # bytes [L, K/2, N] -> s4 [L, K, N]
+        lo = (b << 4) >> 4
+        hi = b >> 4
+        Lw, K2, N = b.shape
+        q = jnp.stack([lo, hi], axis=2).reshape(Lw, 2 * K2, N)
+        return q.astype(jnp.int4)
+
+    def chain_s4_kgn(x, packs):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws  # qa s4 [K, N] viewed grouped
+            K = qa.shape[0]
+            xa = x.reshape(x.shape[0], K // G, G)
+            part = jnp.einsum("bkg,kgn->bkn", xa,
+                              qa.reshape(K // G, G, -1).astype(jnp.bfloat16))
+            h = jnp.maximum(jnp.einsum("bkn,kn->bn", part,
+                                       sa[:, 0].astype(jnp.bfloat16)), 0)
+            Kb = qb.shape[0]
+            hb = h.reshape(h.shape[0], Kb // G, G)
+            part2 = jnp.einsum("bkg,kgn->bkn", hb,
+                               qb.reshape(Kb // G, G, -1).astype(jnp.bfloat16))
+            y = jnp.einsum("bkn,kn->bn", part2, sb[:, 0].astype(jnp.bfloat16))
+            return y.astype(x.dtype), None
+
+        def run(x, bs):
+            b1_, s1_, b2_, s2_ = bs
+            packs4 = (_unpack_s4(b1_), s1_, _unpack_s4(b2_), s2_)
+            xx, _ = jax.lax.scan(layer, x, packs4)
+            return xx
+        return run(x, packs)
+
+    def chain_s4_kng(x, packs):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws  # qa s4 [K/G, N, G]
+            xa = x.reshape(x.shape[0], qa.shape[0], G)
+            part = jnp.einsum("bkg,kng->bkn", xa, qa.astype(jnp.bfloat16))
+            h = jnp.maximum(jnp.einsum("bkn,kn->bn", part,
+                                       sa[:, 0].astype(jnp.bfloat16)), 0)
+            hb = h.reshape(h.shape[0], qb.shape[0], G)
+            part2 = jnp.einsum("bkg,kng->bkn", hb, qb.astype(jnp.bfloat16))
+            y = jnp.einsum("bkn,kn->bn", part2, sb[:, 0].astype(jnp.bfloat16))
+            return y.astype(x.dtype), None
+
+        def run(x, bs):
+            b1_, s1_, b2_, s2_ = bs
+            Lw, K2, N = b1_.shape
+            qa = _unpack_s4(b1_).reshape(Lw, K2 * 2 // G, G, N).transpose(0, 1, 3, 2)
+            Lw2, K22, N2 = b2_.shape
+            qb = _unpack_s4(b2_).reshape(Lw2, K22 * 2 // G, G, N2).transpose(0, 1, 3, 2)
+            xx, _ = jax.lax.scan(layer, x, (qa, s1_, qb, s2_))
+            return xx
+        return run(x, packs)
+
+    def chain_s4_flat(x, packs):
+        """Single [K, N] dot, scales applied by pre-scaling x per group
+        against a REFERENCE scale row then fixing per-n remainder — not
+        exactly the grouped math, so benchmark-only (upper bound for a
+        single-fusion layout)."""
+        def layer(x, ws):
+            qa, sa, qb, sb = ws
+            h = jnp.maximum(
+                (x @ qa.astype(jnp.bfloat16)) * sa[0, 0].astype(jnp.bfloat16), 0)
+            y = (h @ qb.astype(jnp.bfloat16)) * sb[0, 0].astype(jnp.bfloat16)
+            return y.astype(x.dtype), None
+
+        def run(x, bs):
+            b1_, s1_, b2_, s2_ = bs
+            packs4 = (_unpack_s4(b1_), s1_, _unpack_s4(b2_), s2_)
+            xx, _ = jax.lax.scan(layer, x, packs4)
+            return xx
+        return run(x, packs)
+
+    def _s4_kng_layout(b):
+        q = _unpack_s4(b)
+        Lw, K, N = q.shape
+        return q.reshape(Lw, K // G, G, N).transpose(0, 1, 3, 2)
+
+    def chain_s4_kgn_res(x, packs4):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws
+            K = qa.shape[0]
+            xa = x.reshape(x.shape[0], K // G, G)
+            part = jnp.einsum("bkg,kgn->bkn", xa,
+                              qa.reshape(K // G, G, -1).astype(jnp.bfloat16))
+            h = jnp.maximum(jnp.einsum("bkn,kn->bn", part,
+                                       sa[:, 0].astype(jnp.bfloat16)), 0)
+            Kb = qb.shape[0]
+            hb = h.reshape(h.shape[0], Kb // G, G)
+            part2 = jnp.einsum("bkg,kgn->bkn", hb,
+                               qb.reshape(Kb // G, G, -1).astype(jnp.bfloat16))
+            y = jnp.einsum("bkn,kn->bn", part2, sb[:, 0].astype(jnp.bfloat16))
+            return y.astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs4)
+        return x
+
+    def chain_s4_kng_res(x, packs4):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws  # qa s4 [K/G, N, G]
+            xa = x.reshape(x.shape[0], qa.shape[0], G)
+            part = jnp.einsum("bkg,kng->bkn", xa, qa.astype(jnp.bfloat16))
+            h = jnp.maximum(jnp.einsum("bkn,kn->bn", part,
+                                       sa[:, 0].astype(jnp.bfloat16)), 0)
+            hb = h.reshape(h.shape[0], qb.shape[0], G)
+            part2 = jnp.einsum("bkg,kng->bkn", hb, qb.astype(jnp.bfloat16))
+            y = jnp.einsum("bkn,kn->bn", part2, sb[:, 0].astype(jnp.bfloat16))
+            return y.astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs4)
+        return x
+
+    def chain_s4_flat_res(x, packs4):
+        def layer(x, ws):
+            qa, sa, qb, sb = ws
+            h = jnp.maximum(
+                (x @ qa.astype(jnp.bfloat16)) * sa[0, 0].astype(jnp.bfloat16), 0)
+            y = (h @ qb.astype(jnp.bfloat16)) * sb[0, 0].astype(jnp.bfloat16)
+            return y.astype(x.dtype), None
+        x, _ = jax.lax.scan(layer, x, packs4)
+        return x
+
     x0 = jax.random.normal(key, (2, D), jnp.bfloat16)
 
-    def bench(fn, packs):
+    def bench(fn, packs, prep=None):
         # packs MUST be jit arguments, not a closure: closed-over arrays
         # embed in the HLO as constants and the remote-compile request body
         # blows past the tunnel's length limit (HTTP 413)
         @jax.jit
         def run(x, n, packs):
+            if prep is not None:
+                packs = prep(packs)  # once per dispatch, outside the loop
             return jax.lax.fori_loop(0, n, lambda i, x: fn(x * 0.5, packs), x)
 
         lo, hi = args.iters
@@ -257,6 +385,22 @@ def main():
             pack_halfsplit(w1, group=None) + pack_halfsplit(w2, group=None)),
         "halfsplit_xla": lambda: bench(
             chain_halfsplit_xla, pack_halfsplit(w1) + pack_halfsplit(w2)),
+        # round-5 S4 layout ablations (nibble bytes cross the wire; unpack
+        # in-jit exactly like production)
+        "s4_kgn": lambda: bench(chain_s4_kgn, (b1g, sb1g, b2g, sb2g)),
+        "s4_kng": lambda: bench(chain_s4_kng, (b1g, sb1g, b2g, sb2g)),
+        "s4_flat": lambda: bench(chain_s4_flat, (b1g, sb1g, b2g, sb2g)),
+        # resident: unpack ONCE per dispatch (== production generate paths)
+        "s4_kgn_res": lambda: bench(
+            chain_s4_kgn_res, (b1g, sb1g, b2g, sb2g),
+            prep=lambda bs: (_unpack_s4(bs[0]), bs[1], _unpack_s4(bs[2]), bs[3])),
+        "s4_kng_res": lambda: bench(
+            chain_s4_kng_res, (b1g, sb1g, b2g, sb2g),
+            prep=lambda bs: (_s4_kng_layout(bs[0]), bs[1],
+                             _s4_kng_layout(bs[2]), bs[3])),
+        "s4_flat_res": lambda: bench(
+            chain_s4_flat_res, (b1g, sb1g, b2g, sb2g),
+            prep=lambda bs: (_unpack_s4(bs[0]), bs[1], _unpack_s4(bs[2]), bs[3])),
     }
     run_set = (args.only.split(",") if args.only
                else ["nibble", "nibble_grouped", "int8", "bf16"])
