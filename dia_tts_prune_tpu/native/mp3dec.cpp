@@ -617,11 +617,15 @@ bool huffman_decode(BitReader& br, const FrameHeader& h, const GranuleInfo& gi,
   // count1 region: quads until bits exhausted
   const HuffTable& c1 = g_huff.count1[gi.count1table_select];
   if (!c1.ok) return false;
+  int prev_maxpos = maxpos;
   while (br.pos < part2_3_end && pos < 576) {
+    int quad_start_pos = pos;
+    int64_t quad_start_bit = br.pos;
     int v = c1.decode(br);
     if (v < 0) return false;
     // v bits: (v,w,x,y) as 4 bits, MSB = v
     int q[4] = {(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1};
+    prev_maxpos = maxpos;
     for (int i = 0; i < 4 && pos < 576; i++, pos++) {
       if (q[i]) {
         float f = br.read1() ? -1.f : 1.f;
@@ -629,17 +633,17 @@ bool huffman_decode(BitReader& br, const FrameHeader& h, const GranuleInfo& gi,
         maxpos = pos + 1;
       }
     }
+    if (br.pos > part2_3_end) {
+      // A quad that overruns part2_3_length is DISCARDED (spec 2.4.3.4.6 /
+      // libav behavior, verified line-exactly by the oracle harness): zero
+      // its lines and roll maxpos back before realigning.
+      for (int k = quad_start_pos; k < pos; k++) xr[k] = 0.f;
+      maxpos = prev_maxpos;
+      (void)quad_start_bit;
+      break;
+    }
   }
-  // The last count1 quad may overrun part2_3_length by design; spec says
-  // discard it.  We rewind to the boundary.
-  if (br.pos > part2_3_end) {
-    // overrun: zero everything decoded past the boundary is impossible to
-    // attribute exactly; the common (and spec-sanctioned) treatment is to
-    // drop the final quad.  We conservatively keep values and just realign.
-    br.pos = part2_3_end;
-  } else if (br.pos < part2_3_end) {
-    br.pos = part2_3_end;  // stuffing bits
-  }
+  br.pos = part2_3_end;  // realign (stuffing bits or discarded-quad tail)
   *nonzero_bound = maxpos;
   return true;
 }
@@ -1093,6 +1097,9 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
             }
           }
         }
+        if (getenv("MP3DEC_DEBUG"))
+          fprintf(stderr, "mp3dec: tag frame at %lld, trim %lld/%lld\n",
+                  (long long)i, (long long)trim_front, (long long)trim_back);
         i += h.frame_bytes;  // the tag frame carries no audio
         continue;
       }
@@ -1123,6 +1130,9 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
     int main_bytes = h.frame_bytes - header_bytes - side_bytes;
     if (main_bytes < 0) { i += h.frame_bytes; continue; }
     if (si.main_data_begin > dec.reservoir_len) {
+      if (getenv("MP3DEC_DEBUG"))
+        fprintf(stderr, "mp3dec: stash at byte %lld (mdb %d > res %d)\n",
+                (long long)i, si.main_data_begin, dec.reservoir_len);
       // missing reservoir data (stream start / seek): stash and skip
       if (dec.reservoir_len + main_bytes <= (int)sizeof(dec.reservoir)) {
         memcpy(dec.reservoir + dec.reservoir_len,

@@ -118,9 +118,9 @@ def test_mp3dec_vs_lame_matrix(tmp_path):
     """Encode real LAME streams (via libavcodec/libmp3lame) across rates,
     channel modes and MPEG versions, and demand the from-scratch decoder
     match the libav decode.  MPEG-1 rates are float-rounding exact
-    (>=90 dB); MPEG-2 LSF rates are near-exact (>=40 dB — the residual is
-    libav's fixed-point clamp of occasional large spectral values, mine
-    decodes them literally; both transparent)."""
+    (>=90 dB); MPEG-2 LSF rates are near-exact (the small residual on
+    transient granules is under investigation — tools/mp3_recover;
+    inaudible either way)."""
     if not hasattr(native.load_audiodec(), "adec_encode_mp3"):
         pytest.skip("libav build lacks encoder entry")
     rng = np.random.default_rng(0)
@@ -130,7 +130,7 @@ def test_mp3dec_vs_lame_matrix(tmp_path):
         (32000, 1, 96, 90.0),
         (22050, 1, 64, 60.0),
         (16000, 1, 48, 60.0),
-        (24000, 2, 64, 40.0),
+        (24000, 2, 64, 60.0),
     ]
     for sr, nch, kbps, min_snr in cases:
         t = np.arange(int(sr * 1.2)) / sr

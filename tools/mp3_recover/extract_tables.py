@@ -44,7 +44,8 @@ from synth_frames import (  # noqa: E402
     oracle_decode,
 )
 
-LINBITS = {16: 1, 24: 4}
+LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+           24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
 PROBE_GG = 189          # gain 2^(-21/4): value 15 -> 0.97, under the ~16.0
                         # fixed-point ceiling where libav zeroes a line
 PROBE_GAIN = 2.0 ** ((PROBE_GG - 210) / 4.0)
