@@ -566,7 +566,15 @@ bool huffman_decode(BitReader& br, const FrameHeader& h, const GranuleInfo& gi,
   const int* bl = sfb_long(h);
   int region1_start, region2_start;
   if (gi.window_switching && gi.block_type == 2) {
-    region1_start = h.mpeg1() ? 36 : 36;
+    // short blocks: region0 covers the first 3 short scalefactor bands (x3
+    // windows) — 36 lines everywhere EXCEPT 8 kHz MPEG-2.5 whose doubled
+    // band widths make it 3*bs[3] = 72 (oracle-verified divergence probe,
+    // tools/mp3_recover).  Mixed blocks keep the long-band rule below.
+    if (gi.mixed_block) {
+      region1_start = bl[8];
+    } else {
+      region1_start = 3 * sfb_short(h)[3];
+    }
     region2_start = 576;  // no region 2 for short blocks
   } else {
     int r0 = gi.region0_count + 1;
@@ -584,6 +592,12 @@ bool huffman_decode(BitReader& br, const FrameHeader& h, const GranuleInfo& gi,
   int bigv = gi.big_values * 2;
   if (bigv > 576) return false;
   while (pos < bigv) {
+    // A pair starting at/after the part2_3 boundary is not decoded, and a
+    // pair whose reads CROSS the boundary is discarded (same rule as the
+    // count1 rollback below; libav-verified via the oracle line-diff).
+    if (br.pos >= part2_3_end) break;
+    int pair_start_pos = pos;
+    int prev_max = maxpos;
     int region = (pos < region1_start) ? 0 : (pos < region2_start ? 1 : 2);
     int tsel = gi.table_select[region];
     if (tsel == 4 || tsel == 14) return false;
@@ -612,7 +626,12 @@ bool huffman_decode(BitReader& br, const FrameHeader& h, const GranuleInfo& gi,
     if (x) maxpos = pos + 1;
     if (y) maxpos = pos + 2;
     pos += 2;
-    if (br.pos > part2_3_end + 64) return false;  // runaway
+    if (br.pos > part2_3_end) {
+      xr[pair_start_pos] = 0.f;
+      xr[pair_start_pos + 1] = 0.f;
+      maxpos = prev_max;
+      break;
+    }
   }
   // count1 region: quads until bits exhausted
   const HuffTable& c1 = g_huff.count1[gi.count1table_select];

@@ -115,27 +115,15 @@ def _read_via_ffmpeg(path: Path) -> "tuple[np.ndarray, int] | None":
 def _read_via_mp3dec(path: Path) -> "tuple[np.ndarray, int] | None":
     """In-repo from-scratch mp3 decoder (native/mp3dec.cpp), mp3 only.
 
-    Handles MPEG-1 and MPEG-2 (sample-exact vs libav, tests/test_native.py).
-    MPEG-2.5 (8/11.025/12 kHz) falls through to the libav shim: the 8 kHz
-    transient-granule corner still diverges from libav (see
-    tools/mp3_recover/ and the ROADMAP item)."""
+    Handles every MPEG version (1 / 2 / 2.5), mono and stereo —
+    float-rounding exact vs libavcodec at all nine sample rates
+    (tests/test_native.py LAME matrix)."""
     data = path.read_bytes()
     head = data[:3]
     looks_mp3 = head[:2] in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3", b"\xff\xf2") \
         or head == b"ID3" or path.suffix.lower() == ".mp3"
     if not looks_mp3:
         return None
-    # sniff the first frame header's version bits; 0b00 = MPEG-2.5
-    i = 0
-    if head == b"ID3" and len(data) > 10:
-        i = 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-                  | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-    while i + 2 <= len(data) - 2:
-        if data[i] == 0xFF and (data[i + 1] & 0xE0) == 0xE0:
-            if ((data[i + 1] >> 3) & 3) == 0:
-                return None  # MPEG-2.5 -> libav
-            break
-        i += 1
     from .. import native
 
     got = native.decode_mp3(data)

@@ -117,20 +117,23 @@ def test_mp3dec_selftest_and_reference_prompt():
 def test_mp3dec_vs_lame_matrix(tmp_path):
     """Encode real LAME streams (via libavcodec/libmp3lame) across rates,
     channel modes and MPEG versions, and demand the from-scratch decoder
-    match the libav decode.  MPEG-1 rates are float-rounding exact
-    (>=90 dB); MPEG-2 LSF rates are near-exact (the small residual on
-    transient granules is under investigation — tools/mp3_recover;
-    inaudible either way)."""
+    match the libav decode float-rounding exactly at EVERY rate — all
+    three MPEG versions, mono and stereo (the huffman tables, synthesis
+    window, sfb boundaries and boundary-overrun rules were all recovered /
+    verified behaviorally against libav: tools/mp3_recover/)."""
     if not hasattr(native.load_audiodec(), "adec_encode_mp3"):
         pytest.skip("libav build lacks encoder entry")
     rng = np.random.default_rng(0)
     cases = [  # (sr, nch, kbps, min_snr)
         (44100, 1, 128, 90.0),
         (44100, 2, 160, 90.0),
+        (48000, 1, 128, 90.0),
         (32000, 1, 96, 90.0),
-        (22050, 1, 64, 60.0),
-        (16000, 1, 48, 60.0),
-        (24000, 2, 64, 60.0),
+        (22050, 1, 64, 90.0),
+        (16000, 1, 48, 90.0),
+        (24000, 2, 64, 90.0),
+        (12000, 1, 32, 90.0),
+        (8000, 1, 24, 90.0),
     ]
     for sr, nch, kbps, min_snr in cases:
         t = np.arange(int(sr * 1.2)) / sr
