@@ -489,10 +489,13 @@ class Dia:
 
     def save_audio(self, path: str | Path, audio: np.ndarray,
                    sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
-        """Waveform → WAV on disk (reference: dia/model.py:578-595)."""
+        """Waveform → disk, by extension: .wav, .flac, or .mp3
+        (reference: dia/model.py:578-595 writes via soundfile)."""
         if audio is None:
             return
-        write_wav(path, audio, sample_rate)
+        from .utils.audio_io import write_audio
+
+        write_audio(path, audio, sample_rate)
 
     # ------------------------------------------------------------------
     # Adapters

@@ -224,3 +224,37 @@ def speed_change(audio: np.ndarray, speed_factor: float) -> np.ndarray:
     x_out = np.linspace(0, audio.shape[-1] - 1, n_out)
     x_in = np.arange(audio.shape[-1])
     return np.interp(x_out, x_in, audio).astype(np.float32)
+
+
+def write_audio(path: str | Path, audio: np.ndarray,
+                sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
+    """Write audio by extension: .wav (stdlib), .flac (in-repo codec),
+    .mp3 (libmp3lame via the native libav shim).  Anything else gets a
+    clear error.  The reference writes wav/whatever soundfile supports
+    (dia/model.py:578-595); this covers the same surface natively."""
+    p = Path(path)
+    ext = p.suffix.lower()
+    if ext in ("", ".wav"):
+        write_wav(p, audio, sample_rate)
+        return
+    if ext == ".flac":
+        from .flac import write_flac
+
+        a = np.asarray(audio)
+        write_flac(p, a, sample_rate)
+        return
+    if ext == ".mp3":
+        from .. import native
+
+        a = np.asarray(audio, np.float32)
+        if a.ndim == 2 and a.shape[0] in (1, 2) and a.shape[0] < a.shape[1]:
+            a = a.T  # [C, T] -> [T, C]
+        p.parent.mkdir(parents=True, exist_ok=True)
+        if native.encode_mp3(p, np.clip(a, -1.0, 1.0), sample_rate):
+            return
+        raise ValueError(
+            f"mp3 export needs the libmp3lame-enabled libav shim "
+            f"(native/audiodec.cpp) which is unavailable; write {p.stem}.wav "
+            f"or .flac instead")
+    raise ValueError(
+        f"Unsupported audio output format {ext!r}: use .wav, .flac or .mp3")

@@ -249,3 +249,36 @@ def test_flac_voice_prompt_through_dia(tmp_path):
     wav = dia.generate("[S2] More.", max_tokens=96, temperature=0.0,
                        audio_prompt=str(fp), audio_prompt_text="[S1] Hello.")
     assert wav is not None and wav.shape[0] > 0
+
+
+def test_write_audio_by_extension(tmp_path):
+    """Dia.save_audio's writer: .wav/.flac always work; .mp3 through the
+    libav shim when present (reference writes via soundfile:
+    dia/model.py:578-595)."""
+    import numpy as np
+    import pytest
+
+    from dia_tts_prune_tpu import native
+    from dia_tts_prune_tpu.utils.audio_io import read_audio, write_audio
+
+    sr = 44100
+    t = np.arange(sr // 2) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    exts = ["wav", "flac"]
+    if native.load_audiodec() is not None and hasattr(
+            native.load_audiodec(), "adec_encode_mp3"):
+        exts.append("mp3")
+    for ext in exts:
+        p = tmp_path / f"o.{ext}"
+        write_audio(p, sig, sr)
+        a, r = read_audio(p)
+        assert r == sr
+        n = min(a.shape[1], len(sig)) - 4000
+        best = max(
+            float(np.dot(a[0, lag:lag + n], sig[:n])
+                  / (np.linalg.norm(a[0, lag:lag + n])
+                     * np.linalg.norm(sig[:n]) + 1e-12))
+            for lag in range(0, 2500, 8))
+        assert best > 0.98, (ext, best)
+    with pytest.raises(ValueError, match="Unsupported audio output"):
+        write_audio(tmp_path / "o.ogg", sig, sr)
