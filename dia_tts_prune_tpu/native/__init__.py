@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -19,6 +20,7 @@ _DIR = Path(__file__).parent
 _SO = _DIR / "libaudioproc.so"
 _lib = None
 _tried = False
+_load_lock = threading.Lock()  # serializes all three lazy builders/loaders
 
 
 
@@ -41,13 +43,10 @@ def _build() -> bool:
         return False
 
 
-def load() -> ctypes.CDLL | None:
-    """Load (building if needed) the native library; None when unavailable."""
+def _load_locked() -> ctypes.CDLL | None:
     global _lib, _tried
-    if _lib is not None:
-        return _lib
     if _tried:
-        return None
+        return _lib
     _tried = True
     if _stale(_SO, _DIR / 'audioproc.cpp') and not _build():
         return None
@@ -143,12 +142,10 @@ def _build_audiodec() -> bool:
         return False
 
 
-def load_audiodec() -> ctypes.CDLL | None:
+def _load_audiodec_locked() -> ctypes.CDLL | None:
     global _adec, _adec_tried
-    if _adec is not None:
-        return _adec
     if _adec_tried:
-        return None
+        return _adec
     _adec_tried = True
     if _stale(_ADEC_SO, _DIR / 'audiodec.cpp') and not _build_audiodec():
         return None
@@ -221,12 +218,10 @@ def _build_mp3dec() -> bool:
         return False
 
 
-def load_mp3dec() -> ctypes.CDLL | None:
+def _load_mp3dec_locked() -> ctypes.CDLL | None:
     global _mp3, _mp3_tried
-    if _mp3 is not None:
-        return _mp3
     if _mp3_tried:
-        return None
+        return _mp3
     _mp3_tried = True
     if _stale(_MP3_SO, _DIR / 'mp3dec.cpp', _DIR / 'mp3_tables.h',
               _DIR / 'mp3_synth_window.h') and not _build_mp3dec():
@@ -296,3 +291,26 @@ def encode_mp3(path, pcm: np.ndarray, sample_rate: int,
     rc = lib.adec_encode_mp3(str(path).encode(), _fptr(flat),
                              x.shape[0], sample_rate, nch, bitrate_kbps)
     return rc == 0
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None when unavailable.
+    Thread-safe: concurrent first calls serialize on one lock."""
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def load_audiodec() -> ctypes.CDLL | None:
+    if _adec is not None:
+        return _adec
+    with _load_lock:
+        return _load_audiodec_locked()
+
+
+def load_mp3dec() -> ctypes.CDLL | None:
+    if _mp3 is not None:
+        return _mp3
+    with _load_lock:
+        return _load_mp3dec_locked()

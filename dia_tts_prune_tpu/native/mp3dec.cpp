@@ -27,6 +27,7 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <mutex>
 
 namespace {
 
@@ -1058,7 +1059,11 @@ int64_t mp3_decode(const uint8_t* data, int64_t nbytes, float* out,
   g_huff.build();
   g_pow.init();
   if (!g_huff.all_ok) return -1;
-  static Decoder dec;  // large; avoid stack
+  // The Decoder is large (heap once, not per call) and stateful; serialize
+  // concurrent decode_mp3 callers (e.g. serving threads loading prompts).
+  static std::mutex mu;
+  std::lock_guard<std::mutex> lock(mu);
+  static Decoder dec;
   dec.reset();
 
   int64_t i = 0;
