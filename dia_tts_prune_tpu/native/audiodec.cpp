@@ -162,37 +162,42 @@ int64_t adec_decode_file(const char* path, int target_sr, int mono,
   return n;
 }
 
-// Encode interleaved float PCM to an .mp3 file via libmp3lame (through
-// libavcodec).  Returns 0 on success, a positive error code otherwise.
-// Used for mp3 export and as the real-encoder driver for validating the
-// in-repo decoder's stereo / MPEG-2-LSF paths (tests/test_native.py).
+// Encode interleaved float PCM to an .mp3 file via libmp3lame through the
+// mp3 MUXER (which writes the Xing/LAME gapless tag, so decoders trim the
+// encoder delay and round trips are sample-aligned).  Returns 0 on
+// success, a positive error code otherwise.  Also the real-encoder driver
+// for validating the in-repo decoder (tests/test_native.py).
 int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
                     int sample_rate, int nch, int bitrate_kbps) {
   av_log_set_level(AV_LOG_ERROR);
   const AVCodec* codec = avcodec_find_encoder_by_name("libmp3lame");
   if (!codec) return 1;
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "mp3", path) < 0 || !fmt)
+    return 6;
+  AVStream* st = avformat_new_stream(fmt, nullptr);
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   ctx->sample_rate = sample_rate;
   av_channel_layout_default(&ctx->ch_layout, nch);
   ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
   ctx->bit_rate = (int64_t)bitrate_kbps * 1000;
-  if (avcodec_open2(ctx, codec, nullptr) < 0) {
-    avcodec_free_context(&ctx);
-    return 2;
+  ctx->time_base = {1, sample_rate};
+  int rc = 0;
+  if (avcodec_open2(ctx, codec, nullptr) < 0) rc = 2;
+  if (!rc) {
+    avcodec_parameters_from_context(st->codecpar, ctx);
+    st->time_base = ctx->time_base;
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) rc = 3;
   }
-  FILE* f = fopen(path, "wb");
-  if (!f) {
-    avcodec_free_context(&ctx);
-    return 3;
-  }
+  if (!rc && avformat_write_header(fmt, nullptr) < 0) rc = 7;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t pos = 0;
-  int rc = 0;
   auto drain = [&]() {
     while (avcodec_receive_packet(ctx, pkt) >= 0) {
-      fwrite(pkt->data, 1, pkt->size, f);
-      av_packet_unref(pkt);
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
     }
   };
   while (pos < n_samples && !rc) {
@@ -207,17 +212,22 @@ int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
       float* dst = (float*)frame->data[c];
       for (int i = 0; i < chunk; i++) dst[i] = pcm[(pos + i) * nch + c];
     }
+    frame->pts = pos;
     if (avcodec_send_frame(ctx, frame) < 0) rc = 5;
     drain();
     av_frame_unref(frame);
     pos += chunk;
   }
-  avcodec_send_frame(ctx, nullptr);
-  drain();
-  fclose(f);
+  if (!rc) {
+    avcodec_send_frame(ctx, nullptr);
+    drain();
+    av_write_trailer(fmt);
+  }
   av_frame_free(&frame);
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);
+  if (fmt->pb) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
   return rc;
 }
 

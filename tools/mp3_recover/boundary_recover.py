@@ -92,73 +92,6 @@ def build_lsf_frame(sr: int, kbps: int, sf_raw: list[int], slens: tuple,
     return header + side_bytes + main_bytes
 
 
-def model_matrix_lsf(n_frames: int, content_frames: dict) -> np.ndarray:
-    """[n_frames*576, 576] — output coeffs per spectral line, LSF timing
-    (one granule per frame).  content_frames: {frame: amps[576]}."""
-    overlap = np.zeros((32, 18))
-    model = SynthModel()
-    rows = []
-    for f in range(n_frames):
-        amps = content_frames.get(f)
-        out_rows = []
-        # build per-line coefficient by linearity: run the granule once per
-        # basis would be 576x cost; instead exploit linearity directly —
-        # here we only need TOTAL output for known amps, so evaluate with
-        # the given amps (not a matrix).  Kept name for clarity.
-        xr = np.zeros(576) if amps is None else amps.astype(float).copy()
-        xr = alias_reduce(xr)
-        slots = granule_subband_samples(xr, overlap)
-        for s in range(18):
-            coeff = model.push_slot(slots[s])
-            out_rows.append(coeff)
-        rows.append(np.concatenate(out_rows, 0))
-    return np.concatenate(rows, 0)
-
-
-def line_gains(sr: int, kbps: int, sf_raw, slens, sfc, n_lines: int = 576,
-               block_type: int = 0) -> np.ndarray:
-    """Decode a probe via the oracle and return per-line amplitude (the
-    quad pattern puts +1 on every line; scalefactor gains shrink bands)."""
-    frame = build_lsf_frame(sr, kbps, sf_raw, slens, sfc, n_lines,
-                            block_type=block_type)
-    spacer = build_lsf_frame(sr, kbps, [], (0, 0, 0, 0), 0, 0)
-    stream = (frame + spacer * 2) * 1
-    pcm, got_sr = oracle_decode(stream)
-    assert got_sr == sr, (got_sr, sr)
-    # solve amplitudes: pcm ~ A @ D where per-line contributions; build the
-    # response of each line via the synthesis model with the recovered
-    # window, then least-squares
-    D = np.load(HERE / "recovered_window.npy")
-    # per-line responses (linear): compute model output for unit impulses
-    # in batches using linearity: response matrix R[576 lines, T]
-    overlap0 = np.zeros((32, 18))
-    R = []
-    # responses depend only on line index; 3 frames of output timing
-    T = 3 * 576
-    for line in range(576):
-        overlap = np.zeros((32, 18))
-        model = SynthModel()
-        xr = np.zeros(576)
-        xr[line] = 1.0
-        xr = alias_reduce(xr)
-        outs = []
-        slots = granule_subband_samples(xr, overlap)
-        for s in range(18):
-            outs.append(model.push_slot(slots[s]) @ D)
-        # tail frames: zero spectrum, overlap + FIFO drain
-        for _ in range(2):
-            slots = granule_subband_samples(np.zeros(576), overlap)
-            for s in range(18):
-                outs.append(model.push_slot(slots[s]) @ D)
-        R.append(np.concatenate(outs))
-    R = np.stack(R)  # [576, T]
-    n = min(T, len(pcm))
-    A = R[:, :n]
-    sol, *_ = np.linalg.lstsq(A.T, pcm[:n], rcond=None)
-    return sol
-
-
-_RESP_CACHE = {}
 
 
 def line_gains_cached(sr, kbps, sf_raw, slens, sfc, block_type=0):
