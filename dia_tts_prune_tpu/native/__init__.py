@@ -163,6 +163,9 @@ def _load_audiodec_locked() -> ctypes.CDLL | None:
     lib.adec_encode_mp3.restype = ctypes.c_int
     lib.adec_encode_mp3.argtypes = [ctypes.c_char_p, f32p, i64, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_int]
+    lib.adec_encode_file.restype = ctypes.c_int
+    lib.adec_encode_file.argtypes = [ctypes.c_char_p, f32p, i64, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
     _adec = lib
     return lib
 
@@ -282,14 +285,31 @@ def encode_mp3(path, pcm: np.ndarray, sample_rate: int,
                bitrate_kbps: int = 128) -> bool:
     """Encode float PCM ([n] mono or [n, ch] interleaved-able) to .mp3 via
     libmp3lame (through libavcodec).  Returns False when unavailable."""
+    return encode_audio(path, pcm, sample_rate, bitrate_kbps, codec="libmp3lame")
+
+
+def encode_audio(path, pcm: np.ndarray, sample_rate: int,
+                 bitrate_kbps: int = 128, codec: str = "") -> bool:
+    """Encode float PCM to any container libavformat can guess from the
+    filename (.mp3/.ogg/.opus/.m4a/.flac/...), using the container's default
+    codec unless ``codec`` overrides it.  Returns False when unavailable
+    or the encode fails."""
     lib = load_audiodec()
-    if lib is None or not hasattr(lib, "adec_encode_mp3"):
+    if lib is None or not hasattr(lib, "adec_encode_file"):
         return False
+    if not codec:
+        # prefer the battle-tested external encoders over ffmpeg's
+        # experimental native ones (the native opus encoder produces junk
+        # through this path)
+        ext = str(path).rsplit(".", 1)[-1].lower()
+        codec = {"mp3": "libmp3lame", "opus": "libopus",
+                 "ogg": "libvorbis"}.get(ext, "")
     x = np.ascontiguousarray(pcm, np.float32)
     nch = 1 if x.ndim == 1 else int(x.shape[1])
     flat = np.ascontiguousarray(x.reshape(-1))
-    rc = lib.adec_encode_mp3(str(path).encode(), _fptr(flat),
-                             x.shape[0], sample_rate, nch, bitrate_kbps)
+    rc = lib.adec_encode_file(str(path).encode(), _fptr(flat),
+                              x.shape[0], sample_rate, nch, bitrate_kbps,
+                              codec.encode())
     return rc == 0
 
 

@@ -162,26 +162,45 @@ int64_t adec_decode_file(const char* path, int target_sr, int mono,
   return n;
 }
 
-// Encode interleaved float PCM to an .mp3 file via libmp3lame through the
-// mp3 MUXER (which writes the Xing/LAME gapless tag, so decoders trim the
-// encoder delay and round trips are sample-aligned).  Returns 0 on
-// success, a positive error code otherwise.  Also the real-encoder driver
-// for validating the in-repo decoder (tests/test_native.py).
-int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
-                    int sample_rate, int nch, int bitrate_kbps) {
+// Encode interleaved float PCM to a compressed audio file.  The container
+// is guessed from the filename (mp3/ogg/opus/m4a/flac/...), the codec from
+// the container's default (overridable via codec_name).  Muxers write
+// their gapless metadata (e.g. the mp3 Xing/LAME tag) so round trips are
+// sample-aligned.  Returns 0 on success, a positive error code otherwise.
+// Also the real-encoder driver for validating the in-repo mp3 decoder
+// (tests/test_native.py).
+int adec_encode_file(const char* path, const float* pcm, int64_t n_samples,
+                     int sample_rate, int nch, int bitrate_kbps,
+                     const char* codec_name) {
   av_log_set_level(AV_LOG_ERROR);
-  const AVCodec* codec = avcodec_find_encoder_by_name("libmp3lame");
-  if (!codec) return 1;
   AVFormatContext* fmt = nullptr;
-  if (avformat_alloc_output_context2(&fmt, nullptr, "mp3", path) < 0 || !fmt)
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return 6;
+  const AVCodec* codec =
+      (codec_name && codec_name[0])
+          ? avcodec_find_encoder_by_name(codec_name)
+          : avcodec_find_encoder(fmt->oformat->audio_codec);
+  if (!codec) {
+    avformat_free_context(fmt);
+    return 1;
+  }
   AVStream* st = avformat_new_stream(fmt, nullptr);
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   ctx->sample_rate = sample_rate;
   av_channel_layout_default(&ctx->ch_layout, nch);
+  // pick a sample format the encoder supports (prefer planar float)
   ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  if (codec->sample_fmts) {
+    bool has_fltp = false;
+    for (const enum AVSampleFormat* f = codec->sample_fmts;
+         *f != AV_SAMPLE_FMT_NONE; f++)
+      if (*f == AV_SAMPLE_FMT_FLTP) has_fltp = true;
+    if (!has_fltp) ctx->sample_fmt = codec->sample_fmts[0];
+  }
   ctx->bit_rate = (int64_t)bitrate_kbps * 1000;
   ctx->time_base = {1, sample_rate};
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   int rc = 0;
   if (avcodec_open2(ctx, codec, nullptr) < 0) rc = 2;
   if (!rc) {
@@ -204,14 +223,35 @@ int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
     int chunk = ctx->frame_size > 0 ? ctx->frame_size : 1152;
     if (pos + chunk > n_samples) chunk = (int)(n_samples - pos);
     frame->nb_samples = chunk;
-    frame->format = AV_SAMPLE_FMT_FLTP;
+    frame->format = ctx->sample_fmt;
     av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
     frame->sample_rate = sample_rate;
     if (av_frame_get_buffer(frame, 0) < 0) { rc = 4; break; }
-    for (int c = 0; c < nch; c++) {
-      float* dst = (float*)frame->data[c];
-      for (int i = 0; i < chunk; i++) dst[i] = pcm[(pos + i) * nch + c];
-    }
+    if (ctx->sample_fmt == AV_SAMPLE_FMT_FLTP) {
+      for (int c = 0; c < nch; c++) {
+        float* dst = (float*)frame->data[c];
+        for (int i = 0; i < chunk; i++) dst[i] = pcm[(pos + i) * nch + c];
+      }
+    } else if (ctx->sample_fmt == AV_SAMPLE_FMT_FLT) {
+      float* dst = (float*)frame->data[0];
+      for (int i = 0; i < chunk * nch; i++) dst[i] = pcm[pos * nch + i];
+    } else if (ctx->sample_fmt == AV_SAMPLE_FMT_S16P) {
+      for (int c = 0; c < nch; c++) {
+        int16_t* dst = (int16_t*)frame->data[c];
+        for (int i = 0; i < chunk; i++) {
+          float v = pcm[(pos + i) * nch + c];
+          v = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
+          dst[i] = (int16_t)(v * 32767.f);
+        }
+      }
+    } else if (ctx->sample_fmt == AV_SAMPLE_FMT_S16) {
+      int16_t* dst = (int16_t*)frame->data[0];
+      for (int i = 0; i < chunk * nch; i++) {
+        float v = pcm[pos * nch + i];
+        v = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
+        dst[i] = (int16_t)(v * 32767.f);
+      }
+    } else { rc = 8; break; }
     frame->pts = pos;
     if (avcodec_send_frame(ctx, frame) < 0) rc = 5;
     drain();
@@ -229,6 +269,12 @@ int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
   if (fmt->pb) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return rc;
+}
+
+int adec_encode_mp3(const char* path, const float* pcm, int64_t n_samples,
+                    int sample_rate, int nch, int bitrate_kbps) {
+  return adec_encode_file(path, pcm, n_samples, sample_rate, nch,
+                          bitrate_kbps, "libmp3lame");
 }
 
 }  // extern "C"

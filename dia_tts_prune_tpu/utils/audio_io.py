@@ -243,18 +243,18 @@ def write_audio(path: str | Path, audio: np.ndarray,
         a = np.asarray(audio)
         write_flac(p, a, sample_rate)
         return
-    if ext == ".mp3":
+    if ext in (".mp3", ".ogg", ".opus", ".m4a", ".aac"):
         from .. import native
 
         a = np.asarray(audio, np.float32)
         if a.ndim == 2 and a.shape[0] in (1, 2) and a.shape[0] < a.shape[1]:
             a = a.T  # [C, T] -> [T, C]
         p.parent.mkdir(parents=True, exist_ok=True)
-        if native.encode_mp3(p, np.clip(a, -1.0, 1.0), sample_rate):
+        if native.encode_audio(p, np.clip(a, -1.0, 1.0), sample_rate):
             return
         raise ValueError(
-            f"mp3 export needs the libmp3lame-enabled libav shim "
-            f"(native/audiodec.cpp) which is unavailable; write {p.stem}.wav "
-            f"or .flac instead")
+            f"{ext} export needs the libav shim (native/audiodec.cpp) which "
+            f"is unavailable; write {p.stem}.wav or .flac instead")
     raise ValueError(
-        f"Unsupported audio output format {ext!r}: use .wav, .flac or .mp3")
+        f"Unsupported audio output format {ext!r}: use .wav, .flac, .mp3, "
+        f".ogg, .opus or .m4a")

@@ -266,8 +266,8 @@ def test_write_audio_by_extension(tmp_path):
     sig = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
     exts = ["wav", "flac"]
     if native.load_audiodec() is not None and hasattr(
-            native.load_audiodec(), "adec_encode_mp3"):
-        exts.append("mp3")
+            native.load_audiodec(), "adec_encode_file"):
+        exts += ["mp3", "ogg", "m4a"]
     for ext in exts:
         p = tmp_path / f"o.{ext}"
         write_audio(p, sig, sr)
@@ -281,4 +281,4 @@ def test_write_audio_by_extension(tmp_path):
             for lag in range(0, 2500, 8))
         assert best > 0.98, (ext, best)
     with pytest.raises(ValueError, match="Unsupported audio output"):
-        write_audio(tmp_path / "o.ogg", sig, sr)
+        write_audio(tmp_path / "o.xyz", sig, sr)
