@@ -11,8 +11,8 @@
 // remain the zero-dependency paths; this library is the catch-all and the
 // test oracle for mp3dec (tests/test_native.py cross-validates the two).
 //
-// Build: g++ -O2 -shared -fPIC -o libaudiodec.so audiodec.cpp \
-//            -lavformat -lavcodec -lavutil -lswresample
+// Build: g++ -O2 -shared -fPIC -o libaudiodec.so audiodec.cpp
+//        -lavformat -lavcodec -lavutil -lswresample
 
 extern "C" {
 #include <libavcodec/avcodec.h>

@@ -972,8 +972,8 @@ void synth_slot(ChannelState* st, const float sb[32], float out[32]) {
 // ---------------------------------------------------------------------------
 // Whole-granule back end: xr[576] -> 576 PCM samples appended to out.
 
-void granule_to_pcm(const FrameHeader& h, const GranuleInfo& gi,
-                    ChannelState* st, float xr[576], int nonzero_bound,
+void granule_to_pcm(const FrameHeader&, const GranuleInfo& gi,
+                    ChannelState* st, float xr[576], int /*nonzero_bound*/,
                     float* out /*576*/) {
   alias_reduce(gi, xr, 576);
   bool short_blocks = gi.window_switching && gi.block_type == 2;
