@@ -9,7 +9,12 @@
 // ctypes (native/__init__.py::decode_mp3).
 //
 // Written from the spec's algorithm description; no code copied from any
-// decoder.  Self-validation: huffman-table construction fails loudly on a
+// decoder.  Validation status (tests/test_native.py + tools/mp3_recover/):
+// float-rounding exact vs libavcodec on real LAME streams at all nine
+// sample rates (MPEG-1/2/2.5), mono and stereo (L/R + mid/side joint).
+// Intensity stereo follows the spec but is UNVALIDATED: no available
+// encoder emits it (LAME never does) and the synthetic-stereo probe
+// harness does not yet reproduce libav's framing for such streams.  Self-validation: huffman-table construction fails loudly on a
 // non-prefix-free or incomplete code (mp3_selftest), and every granule
 // asserts the spec invariant that scalefactor+huffman reads consume exactly
 // part2_3_length bits — a structural error in any used table cannot stay
